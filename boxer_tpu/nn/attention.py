@@ -1,0 +1,321 @@
+"""Box / Instance / Box3d attention Flax modules.
+
+Parity targets: reference `e2edet/module/box_attention.py`
+(BoxAttention :140-239, InstanceAttention :10-137, Box3dAttention :242-363).
+
+Shared structure:
+- `value_proj` / `out_proj` dense layers (xavier-uniform / zeros init)
+- zero-init `linear_box` weights + uniform bias; zero-init attention weights
+  (reference `_reset_parameters`, `box_attention.py:186-194`)
+- `_where_to_attend`: predicted (dx,dy,dw,dh)/8 offsets scaled by the reference
+  window size; sampled grid = center + kernel_indices * relu(size), multiplied
+  by per-level valid ratios (`box_attention.py:196-214`)
+- kernel_indices: normalized k×k grid (`box_attention.py:171-184`)
+
+TPU-first notes: the heavy sampling goes through `boxer_tpu.ops`
+(XLA gather / Pallas kernel); projections are plain MXU matmuls; everything is
+fixed-shape. The reference's module-wide `inferencing` flag becomes an
+explicit `train` argument.
+"""
+
+import math
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from boxer_tpu.ops import box_attention_dispatch, instance_attention
+
+Shapes = Tuple[Tuple[int, int], ...]
+
+
+def make_kernel_indices(kernel_size: int, divisor: Optional[float] = None):
+    """Normalized k×k tap offsets; parity `box_attention.py:171-184`.
+
+    Even k: centers at ±(i+0.5); odd k: integer offsets. Returned flattened
+    (k*k, 2) as (x, y), divided by `divisor` (default: kernel_size).
+    """
+    if divisor is None:
+        divisor = float(kernel_size)
+    if kernel_size % 2 == 0:
+        start = -kernel_size // 2 + 0.5
+        end = kernel_size // 2 - 0.5
+    else:
+        start = -(kernel_size - 1) // 2
+        end = (kernel_size - 1) // 2
+    indices = jnp.linspace(start, end, kernel_size)
+    i, j = jnp.meshgrid(indices, indices, indexing="ij")
+    return jnp.stack([j, i], axis=-1).reshape(-1, 2) / divisor
+
+
+def _uniform_bias_init(key, shape, dtype=jnp.float32):
+    import jax
+
+    return jax.random.uniform(key, shape, dtype, 0.0, 1.0)
+
+
+class BoxAttention(nn.Module):
+    """Multi-scale box attention (k=2 → 4 taps/level)."""
+
+    d_model: int
+    num_level: int
+    num_head: int
+    kernel_size: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        assert self.d_model % self.num_head == 0
+        self.head_dim = self.d_model // self.num_head
+        self.num_point = self.kernel_size ** 2
+
+        self.value_proj = nn.Dense(
+            self.d_model, kernel_init=nn.initializers.xavier_uniform(),
+            bias_init=nn.initializers.zeros, dtype=self.dtype, name="value_proj")
+        self.out_proj = nn.Dense(
+            self.d_model, kernel_init=nn.initializers.xavier_uniform(),
+            bias_init=nn.initializers.zeros, dtype=self.dtype, name="out_proj")
+        self.linear_box = nn.Dense(
+            self.num_head * self.num_level * 4,
+            kernel_init=nn.initializers.zeros, bias_init=_uniform_bias_init,
+            dtype=self.dtype, name="linear_box")
+        self.linear_attn = nn.Dense(
+            self.num_head * self.num_level * self.num_point,
+            kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+            dtype=self.dtype, name="linear_attn")
+
+    def _where_to_attend(self, query, v_valid_ratios, ref_windows):
+        """ref_windows: (B, L, 4) or (B, L, H, 4) normalized cxcywh."""
+        b, l = ref_windows.shape[:2]
+        offset = self.linear_box(query).reshape(
+            b, l, self.num_head, self.num_level, 4
+        ).astype(jnp.float32)
+
+        if ref_windows.ndim == 3:
+            ref = ref_windows[:, :, None, None]  # (B, L, 1, 1, 4)
+        else:
+            ref = ref_windows[:, :, :, None]  # (B, L, H, 1, 4)
+
+        ref_wh = ref[..., jnp.array([2, 3, 2, 3])]
+        boxes = ref + offset / 8.0 * ref_wh
+        center = boxes[..., None, :2]
+        size = boxes[..., None, 2:]
+
+        kernel = make_kernel_indices(self.kernel_size)
+        grid = center + kernel * nn.relu(size)  # (B, L, H, nlevel, P, 2)
+        if v_valid_ratios is not None:
+            # v_valid_ratios: (B, nlevel, 2) -> broadcast over (Lq, H, P)
+            grid = grid * v_valid_ratios[:, None, None, :, None, :]
+        return grid
+
+    def __call__(self, query, value, v_shape: Shapes, v_mask, v_valid_ratios,
+                 ref_windows):
+        b, l1 = query.shape[:2]
+        l2 = value.shape[1]
+
+        value = self.value_proj(value)
+        if v_mask is not None:
+            value = jnp.where(v_mask[..., None], 0.0, value)
+        value = value.reshape(b, l2, self.num_head, self.head_dim)
+
+        attn = self.linear_attn(query).reshape(b, l1, self.num_head, -1)
+        attn = nn.softmax(attn.astype(jnp.float32), axis=-1)
+        attn = attn.reshape(
+            b, l1, self.num_head, self.num_level, self.num_point
+        )
+
+        grid = self._where_to_attend(query, v_valid_ratios, ref_windows)
+        out = box_attention_dispatch(value, v_shape, grid, attn)
+        return self.out_proj(out), attn
+
+
+class InstanceAttention(nn.Module):
+    """Instance attention: k×k (=14×14) RoI sampling with dual weights.
+
+    Train mode emits (output, mask_roi); inference falls back to plain box
+    attention with spatial weights only (`box_attention.py:112-134`).
+    """
+
+    d_model: int
+    num_level: int
+    num_head: int
+    kernel_size: int = 14
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        assert self.d_model % self.num_head == 0
+        self.head_dim = self.d_model // self.num_head
+
+        self.value_proj = nn.Dense(
+            self.d_model, kernel_init=nn.initializers.xavier_uniform(),
+            bias_init=nn.initializers.zeros, dtype=self.dtype, name="value_proj")
+        self.out_proj = nn.Dense(
+            self.d_model, kernel_init=nn.initializers.xavier_uniform(),
+            bias_init=nn.initializers.zeros, dtype=self.dtype, name="out_proj")
+        self.linear_box = nn.Dense(
+            self.num_level * self.num_head * 4,
+            kernel_init=nn.initializers.zeros, bias_init=_uniform_bias_init,
+            dtype=self.dtype, name="linear_box")
+        # attention weights predicted as (L, 2, 2) then repeat-interleaved to
+        # k×k (`box_attention.py:94-101`)
+        self.linear_attn = nn.Dense(
+            self.num_head * self.num_level * 4,
+            kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+            dtype=self.dtype, name="linear_attn")
+
+    def _where_to_attend(self, query, v_valid_ratios, ref_windows):
+        b, l = ref_windows.shape[:2]
+        offset = self.linear_box(query).reshape(
+            b, l, self.num_head, self.num_level, 4
+        ).astype(jnp.float32)
+
+        if ref_windows.ndim == 3:
+            ref = ref_windows[:, :, None, None]
+        else:
+            ref = ref_windows[:, :, :, None]
+
+        ref_wh = ref[..., jnp.array([2, 3, 2, 3])]
+        boxes = ref + offset / 8.0 * ref_wh
+        center = boxes[..., None, :2]
+        size = boxes[..., None, 2:]
+
+        kernel = make_kernel_indices(self.kernel_size)
+        grid = center + kernel * nn.relu(size)
+        if v_valid_ratios is not None:
+            grid = grid * v_valid_ratios[:, None, None, :, None, :]
+        return grid
+
+    def __call__(self, query, value, v_shape: Shapes, v_mask, v_valid_ratios,
+                 ref_windows, train: bool = True):
+        b, l1 = query.shape[:2]
+        l2 = value.shape[1]
+        k = self.kernel_size
+
+        value = self.value_proj(value)
+        if v_mask is not None:
+            value = jnp.where(v_mask[..., None], 0.0, value)
+        value = value.reshape(b, l2, self.num_head, self.head_dim)
+
+        # (B, L1, H, nlevel, 2, 2) -> repeat-interleave to (.., k, k)
+        attn = self.linear_attn(query).reshape(
+            b, l1, self.num_head, self.num_level, 2, 2
+        ).astype(jnp.float32)
+        attn = jnp.repeat(attn, k // 2, axis=-1)
+        attn = jnp.repeat(attn, k // 2, axis=-2)  # (B,L1,H,L,k,k)
+
+        spatial = nn.softmax(
+            attn.reshape(b, l1, self.num_head, -1), axis=-1
+        ).reshape(b, l1, self.num_head, self.num_level, k * k)
+
+        grid = self._where_to_attend(query, v_valid_ratios, ref_windows)
+
+        if train:
+            level = nn.softmax(attn, axis=3).reshape(
+                b, l1, self.num_head, self.num_level, k * k
+            )
+            out, mask_out = instance_attention(
+                value, v_shape, grid, spatial, level, kernel_size=k
+            )
+            return self.out_proj(out), self.out_proj(mask_out), (spatial, level)
+
+        out = box_attention_dispatch(value, v_shape, grid, spatial)
+        return self.out_proj(out), None, (spatial,)
+
+
+class Box3dAttention(nn.Module):
+    """Rotation-aware box attention for BEV features.
+
+    Parity `box_attention.py:242-363`: 5th offset variable is a rotation angle
+    `(ref_angle + dtheta/16) * 2π`; the k×k grid is rotated before sampling.
+    Reuses the same sampling kernel as BoxAttention (the rotation happens in
+    the grid computation, reference `box_attention.py:304-338`).
+    """
+
+    d_model: int
+    num_level: int
+    num_head: int
+    with_rotation: bool = True
+    kernel_size: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        assert self.d_model % self.num_head == 0
+        self.head_dim = self.d_model // self.num_head
+        self.num_point = self.kernel_size ** 2
+        self.num_variable = 5 if self.with_rotation else 4
+
+        self.value_proj = nn.Dense(
+            self.d_model, kernel_init=nn.initializers.xavier_uniform(),
+            bias_init=nn.initializers.zeros, dtype=self.dtype, name="value_proj")
+        self.out_proj = nn.Dense(
+            self.d_model, kernel_init=nn.initializers.xavier_uniform(),
+            bias_init=nn.initializers.zeros, dtype=self.dtype, name="out_proj")
+        self.linear_box = nn.Dense(
+            self.num_level * self.num_head * self.num_variable,
+            kernel_init=nn.initializers.zeros, bias_init=_uniform_bias_init,
+            dtype=self.dtype, name="linear_box")
+        self.linear_attn = nn.Dense(
+            self.num_head * self.num_level * self.num_point,
+            kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+            dtype=self.dtype, name="linear_attn")
+
+    def _where_to_attend(self, query, v_valid_ratios, ref_windows):
+        b, l = ref_windows.shape[:2]
+        offset = self.linear_box(query).reshape(
+            b, l, self.num_head, self.num_level, self.num_variable
+        ).astype(jnp.float32)
+
+        if ref_windows.ndim == 3:
+            ref_full = ref_windows[:, :, None, None]  # (B,L,1,1,7)
+            ref = ref_full[..., :4]
+            ref_angles = ref_full[..., 4:5]
+        else:
+            ref_full = ref_windows[:, :, :, None]  # (B,L,H,1,5)
+            ref = ref_full[..., :4]
+            ref_angles = ref_full[..., 4:5]
+
+        if self.with_rotation:
+            offset_box = offset[..., :4]
+            offset_angle = offset[..., 4:5]
+            angles = (ref_angles + offset_angle / 16.0) * 2.0 * math.pi
+        else:
+            offset_box = offset
+            angles = jnp.broadcast_to(
+                ref_angles, (b, l, self.num_head, self.num_level, 1)
+            )
+
+        ref_wh = ref[..., jnp.array([2, 3, 2, 3])]
+        boxes = ref + offset_box / 8.0 * ref_wh
+        center = boxes[..., None, :2]
+        size = boxes[..., None, 2:]
+
+        cos_a = jnp.cos(angles)
+        sin_a = jnp.sin(angles)
+        rot = jnp.stack([cos_a, -sin_a, sin_a, cos_a], axis=-1)
+        rot = rot.reshape(b, l, self.num_head, self.num_level, 1, 2, 2)
+
+        kernel = make_kernel_indices(self.kernel_size, divisor=2.0)
+        grid = kernel * nn.relu(size)  # (B,L,H,nl,P,2)
+        grid = center + (grid[..., None, :] * rot).sum(-1)
+        if v_valid_ratios is not None:
+            grid = grid * v_valid_ratios[:, None, None, :, None, :]
+        return grid
+
+    def __call__(self, query, value, v_shape: Shapes, v_mask, v_valid_ratios,
+                 ref_windows):
+        b, l1 = query.shape[:2]
+        l2 = value.shape[1]
+
+        value = self.value_proj(value)
+        if v_mask is not None:
+            value = jnp.where(v_mask[..., None], 0.0, value)
+        value = value.reshape(b, l2, self.num_head, self.head_dim)
+
+        attn = self.linear_attn(query).reshape(b, l1, self.num_head, -1)
+        attn = nn.softmax(attn.astype(jnp.float32), axis=-1)
+        attn = attn.reshape(
+            b, l1, self.num_head, self.num_level, self.num_point
+        )
+
+        grid = self._where_to_attend(query, v_valid_ratios, ref_windows)
+        out = box_attention_dispatch(value, v_shape, grid, attn)
+        return self.out_proj(out), attn

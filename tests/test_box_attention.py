@@ -1,0 +1,171 @@
+"""Kernel-layer correctness tests for box/instance attention.
+
+Strategy mirrors the reference test pyramid (`tests/box_attn_test.py`,
+`tests/instance_attn_test.py`): an independent torch `F.grid_sample` oracle
+(align_corners=False, grid = 2*loc - 1), forward parity, and analytic
+backward parity on all three inputs.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from boxer_tpu.ops import box_attention, instance_attention
+
+SHAPES = ((6, 4), (3, 2))
+S = sum(h * w for h, w in SHAPES)
+B, NH, LQ, NL = 2, 2, 3, len(SHAPES)
+
+
+def torch_box_attn_oracle(value, loc, weight, shapes):
+    """Oracle: per-level grid_sample with torch semantics.
+
+    value: (B, S, NH, CH) torch; loc: (B, LQ, NH, NL, P, 2) in [0,1];
+    weight: (B, LQ, NH, NL, P). Returns (B, LQ, NH*CH).
+    """
+    b, s, nh, ch = value.shape
+    _, lq, _, nl, p, _ = loc.shape
+    out = torch.zeros(b, nh, lq, ch, dtype=value.dtype)
+    start = 0
+    for li, (h, w) in enumerate(shapes):
+        v = value[:, start : start + h * w]  # (B, HW, NH, CH)
+        start += h * w
+        v = v.permute(0, 2, 3, 1).reshape(b * nh, ch, h, w)
+        g = loc[:, :, :, li] * 2 - 1  # (B, LQ, NH, P, 2)
+        g = g.permute(0, 2, 1, 3, 4).reshape(b * nh, lq, p, 2)
+        sampled = F.grid_sample(v, g, align_corners=False)  # (B*NH, CH, LQ, P)
+        wgt = weight[:, :, :, li].permute(0, 2, 1, 3).reshape(b * nh, 1, lq, p)
+        out = out + (sampled * wgt).sum(-1).reshape(b, nh, ch, lq).permute(0, 1, 3, 2)
+    return out.permute(0, 2, 1, 3).reshape(b, lq, nh * ch)
+
+
+def _rand_inputs(ch, p, seed=3):
+    rng = np.random.RandomState(seed)
+    value = rng.rand(B, S, NH, ch).astype(np.float64) * 0.01
+    loc = rng.rand(B, LQ, NH, NL, p, 2).astype(np.float64)
+    weight = rng.rand(B, LQ, NH, NL, p).astype(np.float64) + 1e-5
+    weight = weight / weight.sum(axis=(-1, -2), keepdims=True)
+    return value, loc, weight
+
+
+@pytest.mark.parametrize("ch", [8, 30, 32, 71])
+def test_box_attention_forward(ch):
+    value, loc, weight = _rand_inputs(ch, p=4)
+    out = box_attention(
+        jnp.asarray(value, jnp.float32),
+        SHAPES,
+        jnp.asarray(loc, jnp.float32),
+        jnp.asarray(weight, jnp.float32),
+    )
+    ref = torch_box_attn_oracle(
+        torch.from_numpy(value), torch.from_numpy(loc), torch.from_numpy(weight), SHAPES
+    ).numpy()
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-2, atol=1e-4)
+
+
+def test_box_attention_backward():
+    value, loc, weight = _rand_inputs(16, p=4)
+
+    def f(v, l, w):
+        return box_attention(v, SHAPES, l, w).sum()
+
+    gv, gl, gw = jax.grad(f, argnums=(0, 1, 2))(
+        jnp.asarray(value, jnp.float32),
+        jnp.asarray(loc, jnp.float32),
+        jnp.asarray(weight, jnp.float32),
+    )
+
+    tv = torch.from_numpy(value).requires_grad_(True)
+    tl = torch.from_numpy(loc).requires_grad_(True)
+    tw = torch.from_numpy(weight).requires_grad_(True)
+    torch_box_attn_oracle(tv, tl, tw, SHAPES).sum().backward()
+
+    np.testing.assert_allclose(np.asarray(gv), tv.grad.numpy(), rtol=1e-2, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw), tw.grad.numpy(), rtol=1e-2, atol=1e-4)
+    # grad wrt sampling locations: exclude taps that land exactly on pixel-grid
+    # breakpoints (floor() kink where left/right derivatives differ).
+    np.testing.assert_allclose(np.asarray(gl), tl.grad.numpy(), rtol=1e-2, atol=1e-3)
+
+
+def test_instance_attention_forward_and_mask():
+    k = 4  # small kernel for the test; production uses 14
+    p = k * k
+    value, loc, sw = _rand_inputs(8, p=p)
+    rng = np.random.RandomState(7)
+    lw = rng.rand(B, LQ, NH, NL, p).astype(np.float64)
+    lw = np.exp(lw) / np.exp(lw).sum(axis=3, keepdims=True)  # softmax over levels
+
+    out, mask_out = instance_attention(
+        jnp.asarray(value, jnp.float32),
+        SHAPES,
+        jnp.asarray(loc, jnp.float32),
+        jnp.asarray(sw, jnp.float32),
+        jnp.asarray(lw, jnp.float32),
+        kernel_size=k,
+    )
+
+    # attention output must equal plain box attention with spatial weights
+    ref_out = torch_box_attn_oracle(
+        torch.from_numpy(value), torch.from_numpy(loc), torch.from_numpy(sw), SHAPES
+    ).numpy()
+    np.testing.assert_allclose(np.asarray(out), ref_out, rtol=1e-2, atol=1e-4)
+
+    # mask output oracle: level-weighted sample per tap
+    tv, tl = torch.from_numpy(value), torch.from_numpy(loc)
+    ch = value.shape[-1]
+    ref_mask = torch.zeros(B, NH, LQ, p, ch, dtype=tv.dtype)
+    start = 0
+    for li, (h, w) in enumerate(SHAPES):
+        v = tv[:, start : start + h * w]
+        start += h * w
+        v = v.permute(0, 2, 3, 1).reshape(B * NH, ch, h, w)
+        g = tl[:, :, :, li] * 2 - 1
+        g = g.permute(0, 2, 1, 3, 4).reshape(B * NH, LQ, p, 2)
+        sampled = F.grid_sample(v, g, align_corners=False)
+        sampled = sampled.reshape(B, NH, ch, LQ, p).permute(0, 1, 3, 4, 2)
+        wgt = torch.from_numpy(lw[:, :, :, li]).permute(0, 2, 1, 3)[..., None]
+        ref_mask = ref_mask + sampled * wgt
+    ref_mask = (
+        ref_mask.permute(0, 2, 3, 1, 4).reshape(B, LQ, k, k, NH * ch).numpy()
+    )
+    np.testing.assert_allclose(np.asarray(mask_out), ref_mask, rtol=1e-2, atol=1e-4)
+
+
+def test_instance_attention_backward_runs():
+    k = 2
+    p = k * k
+    value, loc, sw = _rand_inputs(8, p=p)
+    lw = sw.copy()
+
+    def f(v, l, s, lev):
+        out, mask = instance_attention(v, SHAPES, l, s, lev, kernel_size=k)
+        return out.sum() + (mask * 0.5).sum()
+
+    grads = jax.grad(f, argnums=(0, 1, 2, 3))(
+        jnp.asarray(value, jnp.float32),
+        jnp.asarray(loc, jnp.float32),
+        jnp.asarray(sw, jnp.float32),
+        jnp.asarray(lw, jnp.float32),
+    )
+    for g in grads:
+        assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_grid_sample_parity():
+    """Our bilinear matches torch grid_sample(align_corners=False) incl. OOB."""
+    from boxer_tpu.utils.general import grid_sample_nhwc
+
+    rng = np.random.RandomState(0)
+    img = rng.rand(2, 5, 7, 3).astype(np.float32)
+    grid = (rng.rand(2, 11, 2).astype(np.float32) * 2.6) - 1.3  # includes OOB
+
+    ours = grid_sample_nhwc(jnp.asarray(img), jnp.asarray(grid))
+    timg = torch.from_numpy(img).permute(0, 3, 1, 2)
+    tgrid = torch.from_numpy(grid).reshape(2, 11, 1, 2)
+    ref = F.grid_sample(timg, tgrid, align_corners=False)
+    ref = ref.squeeze(-1).permute(0, 2, 1).numpy()
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-5)
