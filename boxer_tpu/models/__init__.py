@@ -1,0 +1,27 @@
+"""Model registry + builder.
+
+Parity: reference `e2edet/model/__init__.py:13-41` (`build_model`,
+`register_model`). Models are Flax modules; `build_model` returns the module
+(construction only — param init happens in the trainer).
+"""
+
+from boxer_tpu.utils.registry import MODEL_REGISTRY
+
+
+def register_model(name):
+    return MODEL_REGISTRY.register(name)
+
+
+def build_model(config, num_classes: int, dtype=None):
+    """config: the per-model config node (e.g. config.model_config.boxer2d)."""
+    import jax.numpy as jnp
+
+    model_type = config.get("type")
+    cls = MODEL_REGISTRY.get(model_type)
+    return cls.from_config(config, num_classes, dtype=dtype or jnp.float32)
+
+
+# populate registry
+from boxer_tpu.models.boxer2d import BoxeR2D  # noqa: E402,F401
+
+__all__ = ["register_model", "build_model", "BoxeR2D"]

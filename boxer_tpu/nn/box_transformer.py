@@ -1,0 +1,306 @@
+"""BoxTransformer (2D): box-attention encoder/decoder.
+
+Parity targets: reference `e2edet/module/box_transformer.py` —
+_create_ref_windows (:70-116), _create_valid_ratios (:118-138), encoder with
+top-k proposal selection (:200-259), decoder with MHA self-attn +
+Box/Instance cross-attn and roi residual modes v1/v2 (:262-465).
+
+Design notes (TPU-first):
+- `inference` is an explicit flag: inference returns only the last decoder
+  layer (leading nl dim of 1) and skips the mask RoI except in the last layer.
+- The encoder-proposal head (`enc_detector` in the reference, shared between
+  proposal selection and the `enc_outputs` auxiliary loss head,
+  `boxer2d.py:81` / `box_transformer.py:211`) lives inside this module so
+  weight sharing is structural; `compute_enc_outputs` re-uses it.
+- All shapes static; top-k proposal gather is a fixed-size `lax.top_k`.
+"""
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from boxer_tpu.nn.attention import BoxAttention, InstanceAttention
+from boxer_tpu.nn.predictor import Detector, NEG_INF
+from boxer_tpu.utils.general import (
+    flatten_with_shape,
+    get_proposal_pos_embed,
+    inverse_sigmoid,
+)
+
+Shapes = Tuple[Tuple[int, int], ...]
+
+
+def create_ref_windows_2d(tensor_list, mask_list, ref_size: int):
+    """Per-pixel reference boxes across levels (reference
+    `box_transformer.py:70-116`). NHWC features.
+
+    returns (B, S, 4) normalized cxcywh.
+    """
+    eps = 1e-6
+    ref_windows = []
+    for i, tensor in enumerate(tensor_list):
+        b, h, w, _ = tensor.shape
+        if mask_list is not None and mask_list[i] is not None:
+            not_mask = (~mask_list[i]).astype(jnp.float32)
+            y_embed = jnp.cumsum(not_mask, axis=1)
+            x_embed = jnp.cumsum(not_mask, axis=2)
+            size_h = not_mask[:, :, 0].sum(axis=-1)
+            size_w = not_mask[:, 0, :].sum(axis=-1)
+        else:
+            y_embed = jnp.broadcast_to(
+                jnp.arange(1, h + 1, dtype=jnp.float32)[None, :, None], (b, h, w)
+            )
+            x_embed = jnp.broadcast_to(
+                jnp.arange(1, w + 1, dtype=jnp.float32)[None, None, :], (b, h, w)
+            )
+            size_h = jnp.full((b,), float(h))
+            size_w = jnp.full((b,), float(w))
+
+        y_c = (y_embed - 0.5) / (y_embed[:, -1:, :] + eps)
+        x_c = (x_embed - 0.5) / (x_embed[:, :, -1:] + eps)
+        center = jnp.stack([x_c, y_c], axis=-1).reshape(b, h * w, 2)
+
+        h_embed = ref_size / size_h
+        w_embed = ref_size / size_w
+        size = jnp.stack([w_embed, h_embed], axis=-1)[:, None, :]
+        size = jnp.broadcast_to(size, center.shape)
+
+        ref_windows.append(jnp.concatenate([center, size], axis=-1))
+    return jnp.concatenate(ref_windows, axis=1)
+
+
+def create_valid_ratios(mask_list):
+    """(B, L, 2) per-level [ratio_w, ratio_h]; None if no masks
+    (reference `box_transformer.py:118-138`)."""
+    if mask_list is None or mask_list[0] is None:
+        return None
+    ratios = []
+    for mask in mask_list:
+        not_mask = ~mask
+        h, w = mask.shape[1:3]
+        size_h = not_mask[:, :, 0].sum(axis=-1).astype(jnp.float32)
+        size_w = not_mask[:, 0, :].sum(axis=-1).astype(jnp.float32)
+        ratios.append(jnp.stack([size_w / w, size_h / h], axis=-1))
+    return jnp.stack(ratios, axis=1)  # (B, L, 2)
+
+
+class EncoderLayer(nn.Module):
+    d_model: int
+    nhead: int
+    nlevel: int
+    dim_feedforward: int
+    dropout: float
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, src, pos, v_shape, src_mask, valid_ratios, ref_windows,
+                 train: bool):
+        q = src if pos is None else src + pos
+        src2, _ = BoxAttention(self.d_model, self.nlevel, self.nhead,
+                               dtype=self.dtype, name="self_attn")(
+            q, src, v_shape, src_mask, valid_ratios, ref_windows)
+        src = src + nn.Dropout(self.dropout, deterministic=not train)(src2)
+        src = nn.LayerNorm(dtype=self.dtype, name="norm1")(src)
+
+        src2 = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(src)
+        src2 = nn.Dropout(self.dropout, deterministic=not train)(nn.relu(src2))
+        src2 = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(src2)
+        src = src + nn.Dropout(self.dropout, deterministic=not train)(src2)
+        return nn.LayerNorm(dtype=self.dtype, name="norm2")(src)
+
+
+class DecoderLayer(nn.Module):
+    d_model: int
+    nhead: int
+    nlevel: int
+    dim_feedforward: int
+    dropout: float
+    use_mask: bool
+    residual_mode: str = "v1"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, tgt, query_pos, memory, v_shape, memory_mask,
+                 valid_ratios, ref_windows, train: bool, emit_roi: bool):
+        assert self.residual_mode in ("v1", "v2")
+        drop = lambda x: nn.Dropout(self.dropout, deterministic=not train)(x)
+
+        q = k = tgt if query_pos is None else tgt + query_pos
+        tgt2 = nn.MultiHeadDotProductAttention(
+            num_heads=self.nhead, dtype=self.dtype, name="self_attn",
+            dropout_rate=self.dropout, deterministic=not train,
+        )(inputs_q=q, inputs_k=k, inputs_v=tgt)
+        tgt = tgt + drop(tgt2)
+        tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt)
+
+        roi = None
+        q2 = tgt if query_pos is None else tgt + query_pos
+        if self.use_mask:
+            attn = InstanceAttention(self.d_model, self.nlevel, self.nhead,
+                                     kernel_size=14, dtype=self.dtype,
+                                     name="cross_attn")
+            tgt2, roi, _ = attn(q2, memory, v_shape, memory_mask, valid_ratios,
+                                ref_windows, train=emit_roi)
+        else:
+            tgt2, _ = BoxAttention(self.d_model, self.nlevel, self.nhead,
+                                   dtype=self.dtype, name="cross_attn")(
+                q2, memory, v_shape, memory_mask, valid_ratios, ref_windows)
+
+        norm2 = nn.LayerNorm(dtype=self.dtype, name="norm2")
+        tgt = tgt + drop(tgt2)
+        tgt = norm2(tgt)
+        if roi is not None:
+            roi = tgt[:, :, None, None, :] + drop(roi)
+            roi = norm2(roi)
+
+        linear1 = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")
+        linear2 = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")
+        tgt2 = linear2(drop(nn.relu(linear1(tgt))))
+        tgt = tgt + drop(tgt2)
+        norm3 = nn.LayerNorm(dtype=self.dtype, name="norm3")
+        tgt = norm3(tgt)
+        if roi is not None:
+            if self.residual_mode == "v1":
+                roi2 = linear2(drop(nn.relu(linear1(roi))))
+                roi = roi + drop(roi2)
+            else:  # v2
+                roi = tgt[:, :, None, None, :] + drop(roi)
+            roi = norm3(roi)
+        return tgt, roi
+
+
+class BoxTransformer(nn.Module):
+    d_model: int = 256
+    nhead: int = 8
+    nlevel: int = 4
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 6
+    dim_feedforward: int = 1024
+    dropout: float = 0.1
+    num_queries: int = 300
+    use_mask: bool = False
+    ref_size: int = 4
+    residual_mode: str = "v1"
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.encoder_layers = [
+            EncoderLayer(self.d_model, self.nhead, self.nlevel,
+                         self.dim_feedforward, self.dropout, dtype=self.dtype,
+                         name=f"encoder_layer{i}")
+            for i in range(self.num_encoder_layers)
+        ]
+        self.decoder_layers = [
+            DecoderLayer(self.d_model, self.nhead, self.nlevel,
+                         self.dim_feedforward, self.dropout, self.use_mask,
+                         self.residual_mode, dtype=self.dtype,
+                         name=f"decoder_layer{i}")
+            for i in range(self.num_decoder_layers)
+        ]
+        # shared encoder-proposal head (reference enc_detector,
+        # boxer2d.py:28-30 + box_transformer.py:211)
+        self.enc_detector = Detector(self.d_model, 1, aux_loss=False,
+                                     use_focal=True, dtype=self.dtype,
+                                     name="enc_detector")
+        self.enc_linear = nn.Dense(self.d_model, dtype=self.dtype,
+                                   name="enc_linear")
+        self.enc_norm = nn.LayerNorm(dtype=self.dtype, name="enc_norm")
+
+    def _get_enc_proposals(self, output, src_mask, ref_windows):
+        """Top-num_queries proposal selection (reference
+        `box_transformer.py:200-230`)."""
+        valid = ((ref_windows[..., :2] > 0.01)
+                 & (ref_windows[..., :2] < 0.99)).all(-1)
+        if src_mask is not None:
+            mask = src_mask | (~valid)
+        else:
+            mask = ~valid
+
+        out_logits = self.enc_detector.class_embed(output)[..., 0]
+        out_logits = jnp.where(mask, NEG_INF, out_logits.astype(jnp.float32))
+        _, indexes = jax.lax.top_k(out_logits, self.num_queries)  # (B, nq)
+
+        gather = lambda arr: jnp.take_along_axis(
+            arr, indexes[..., None], axis=1)
+        output_embed = gather(output)
+        out_embed = self.enc_norm(
+            self.enc_linear(jax.lax.stop_gradient(output_embed)))
+
+        ref = gather(ref_windows)
+        tmp_ref = self.enc_detector.bbox_embed(output_embed).astype(jnp.float32)
+        tmp_ref = tmp_ref + inverse_sigmoid(ref)
+        out_ref_windows = jax.lax.stop_gradient(nn.sigmoid(tmp_ref))
+
+        pos = get_proposal_pos_embed(out_ref_windows[..., :2], self.d_model)
+        size = get_proposal_pos_embed(out_ref_windows[..., 2:], self.d_model)
+        return out_embed, out_ref_windows, (pos + size).astype(output.dtype)
+
+    def compute_enc_outputs(self, src_embed, src_ref_windows, src_mask):
+        """Encoder auxiliary head over all source tokens (train only;
+        reference `boxer2d.py:151-170`)."""
+        valid = ((src_ref_windows[..., :2] > 0.01)
+                 & (src_ref_windows[..., :2] < 0.99)).all(-1)
+        mask = (src_mask | (~valid)) if src_mask is not None else (~valid)
+        src_embed = jnp.where(mask[..., None], 0.0, src_embed)
+        src_ref = jnp.where(mask[..., None], 0.0, src_ref_windows)
+        enc_out = self.enc_detector(src_embed[None], src_ref[None],
+                                    x_mask=mask[None])
+        return [{"pred_logits": enc_out["pred_logits"],
+                 "pred_boxes": enc_out["pred_boxes"]}]
+
+    def __call__(self, srcs: Sequence[jnp.ndarray], masks, pos_list,
+                 train: bool = True, inference: bool = False):
+        """srcs: list of (B, Hi, Wi, C); masks: list of (B, Hi, Wi) or [None];
+        pos_list: list of (B, Hi, Wi, C).
+
+        returns (hs, roi, dec_ref_windows, out_embed(src), src_ref_windows,
+                 src_mask, v_shape, enc_outputs)
+        """
+        if masks is not None and masks[0] is None:
+            masks = None
+
+        src_ref_windows = create_ref_windows_2d(srcs, masks, self.ref_size)
+        valid_ratios = create_valid_ratios(masks)
+        src, src_mask, v_shape = flatten_with_shape(srcs, masks)
+
+        src_pos = jnp.concatenate(
+            [p.reshape(p.shape[0], -1, p.shape[-1]) for p in pos_list], axis=1
+        )
+
+        # ---- encoder ----
+        output = src
+        for layer in self.encoder_layers:
+            output = layer(output, src_pos, v_shape, src_mask, valid_ratios,
+                           src_ref_windows, train)
+
+        dec_embed, dec_ref_windows, dec_pos = self._get_enc_proposals(
+            output, src_mask, src_ref_windows)
+
+        # ---- decoder ----
+        tgt = dec_embed
+        inter, inter_roi = [], []
+        n_dec = len(self.decoder_layers)
+        for i, layer in enumerate(self.decoder_layers):
+            is_last = i == n_dec - 1
+            emit_roi = self.use_mask and (not inference or is_last)
+            tgt, roi = layer(tgt, dec_pos, output, v_shape, src_mask,
+                             valid_ratios, dec_ref_windows, train, emit_roi)
+            inter.append(tgt)
+            inter_roi.append(roi)
+
+        if inference:
+            hs = inter[-1][None]
+            roi = inter_roi[-1][None] if self.use_mask else None
+        else:
+            hs = jnp.stack(inter)
+            roi = jnp.stack(inter_roi) if self.use_mask else None
+
+        enc_outputs = None
+        if not inference:
+            enc_outputs = self.compute_enc_outputs(
+                output, src_ref_windows, src_mask)
+
+        return (hs, roi, dec_ref_windows, output, src_ref_windows, src_mask,
+                v_shape, enc_outputs)

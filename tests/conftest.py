@@ -1,14 +1,22 @@
-"""Test environment: 8 virtual CPU devices for multi-chip sharding tests.
+"""Test environment: CPU backend with 8 virtual devices for sharding tests.
 
-Must run before the first `import jax` anywhere in the test session.
+Note: on this image the `axon` TPU plugin ignores ``JAX_PLATFORMS``;
+``JAX_PLATFORM_NAME`` + an explicit config update are required to actually
+select CPU. Must run before the first `import jax` in any test module.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()
