@@ -23,5 +23,7 @@ def build_model(config, num_classes: int, dtype=None):
 
 # populate registry
 from boxer_tpu.models.boxer2d import BoxeR2D  # noqa: E402,F401
+from boxer_tpu.models.detr import DETR  # noqa: E402,F401
+from boxer_tpu.models.boxer3d import BoxeR3D  # noqa: E402,F401
 
-__all__ = ["register_model", "build_model", "BoxeR2D"]
+__all__ = ["register_model", "build_model", "BoxeR2D", "DETR", "BoxeR3D"]
