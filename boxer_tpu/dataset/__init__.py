@@ -64,3 +64,4 @@ def build_dataloader(dataset, dataset_type: str, batch_size: int,
 
 # populate registry
 from boxer_tpu.dataset.coco import COCODetection  # noqa: E402,F401
+from boxer_tpu.dataset.waymo import WaymoDetection  # noqa: E402,F401

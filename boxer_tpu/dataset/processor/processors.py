@@ -176,3 +176,101 @@ class AnswerProcessor(BaseProcessor):
 
     def __call__(self, sample, target, rng):
         return sample, target
+
+
+# =========================== #
+# --------- 3d ops ---------- #
+# =========================== #
+
+from boxer_tpu.dataset.processor import transforms_3d as T3
+from boxer_tpu.dataset.processor.voxelizer import points_to_voxel
+
+
+@register_processor("random_flip")
+class RandomFlip3D(BaseProcessor):
+    def __call__(self, sample, target, rng):
+        return T3.random_flip(sample, target, rng,
+                              self.params.get("prob", 0.5))
+
+
+@register_processor("global_rotate")
+class GlobalRotate(BaseProcessor):
+    def __call__(self, sample, target, rng):
+        return T3.global_rotation(sample, target, rng,
+                                  self.params["rotation"])
+
+
+@register_processor("global_scale")
+class GlobalScale(BaseProcessor):
+    def __call__(self, sample, target, rng):
+        return T3.global_scaling(sample, target, rng,
+                                 self.params["min_scale"],
+                                 self.params["max_scale"])
+
+
+@register_processor("global_translate")
+class GlobalTranslate(BaseProcessor):
+    def __call__(self, sample, target, rng):
+        return T3.global_translate(sample, target, rng,
+                                   self.params.get("noise_std", 0.0))
+
+
+@register_processor("filter_by_range")
+class FilterByRange(BaseProcessor):
+    def __call__(self, sample, target, rng):
+        return T3.filter_by_pc_range(sample, target, self.params["pc_range"])
+
+
+@register_processor("shuffle_points")
+class ShufflePoints(BaseProcessor):
+    def __call__(self, sample, target, rng):
+        return T3.shuffle_points(sample, target, rng)
+
+
+@register_processor("voxelize")
+class Voxelize(BaseProcessor):
+    def __call__(self, sample, target, rng):
+        import numpy as np
+
+        voxels, coords, num_points = points_to_voxel(
+            sample["points"],
+            self.params["voxel_size"],
+            self.params["pc_range"],
+            max_points=self.params.get("max_points_per_voxel", 20),
+            reverse=True,
+            max_voxels=self.params.get("max_voxel_num", 32000),
+        )
+        pc_range = np.asarray(self.params["pc_range"], np.float32)
+        vs = np.asarray(self.params["voxel_size"], np.float32)
+        grid = np.round((pc_range[3:] - pc_range[:3]) / vs).astype(np.int64)
+        sample = dict(sample)
+        sample.update({
+            "voxels": voxels,
+            "coordinates": coords,
+            "num_points_per_voxel": num_points,
+            "grid_shape": grid,
+            "max_voxel_num": self.params.get("max_voxel_num", 32000),
+        })
+        return sample, target
+
+
+@register_processor("normalize3d")
+class Normalize3D(BaseProcessor):
+    def __call__(self, sample, target, rng):
+        return T3.normalize3d(sample, target, self.params["pc_range"],
+                              self.params.get("normalize_angle", "sigmoid"))
+
+
+@register_processor("double_flip")
+class DoubleFlip(BaseProcessor):
+    def __call__(self, sample, target, rng):
+        return T3.double_flip(sample, target)
+
+
+@register_processor("np_to_tensor")
+class NpToTensor(BaseProcessor):
+    """No-op in the numpy pipeline (arrays stay numpy until device_put);
+    kept for config-surface parity (reference `functional.py:459-463`)."""
+
+    def __call__(self, sample, target, rng):
+        return sample, target

@@ -6,6 +6,9 @@ top-k proposal selection (:200-259), decoder with MHA self-attn +
 Box/Instance cross-attn and roi residual modes v1/v2 (:262-465).
 
 Design notes (TPU-first):
+- The encoder (the hot path: 6 identical layers over ~20k tokens) is a
+  `nn.scan` over one layer — XLA compiles ONE layer body instead of six
+  (≈6× lower compile time, identical math; params get a leading layer axis).
 - `inference` is an explicit flag: inference returns only the last decoder
   layer (leading nl dim of 1) and skips the mask RoI except in the last layer.
 - The encoder-proposal head (`enc_detector` in the reference, shared between
@@ -87,28 +90,34 @@ def create_valid_ratios(mask_list):
 
 
 class EncoderLayer(nn.Module):
+    """One box-attention encoder layer, shaped for nn.scan:
+    carry = src; broadcast inputs = (pos, src_mask, valid_ratios, ref)."""
+
     d_model: int
     nhead: int
     nlevel: int
     dim_feedforward: int
     dropout: float
+    v_shape: Shapes
+    deterministic: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, src, pos, v_shape, src_mask, valid_ratios, ref_windows,
-                 train: bool):
+    def __call__(self, src, pos, src_mask, valid_ratios, ref_windows):
+        det = self.deterministic
         q = src if pos is None else src + pos
         src2, _ = BoxAttention(self.d_model, self.nlevel, self.nhead,
                                dtype=self.dtype, name="self_attn")(
-            q, src, v_shape, src_mask, valid_ratios, ref_windows)
-        src = src + nn.Dropout(self.dropout, deterministic=not train)(src2)
+            q, src, self.v_shape, src_mask, valid_ratios, ref_windows)
+        src = src + nn.Dropout(self.dropout, deterministic=det)(src2)
         src = nn.LayerNorm(dtype=self.dtype, name="norm1")(src)
 
         src2 = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(src)
-        src2 = nn.Dropout(self.dropout, deterministic=not train)(nn.relu(src2))
+        src2 = nn.Dropout(self.dropout, deterministic=det)(nn.relu(src2))
         src2 = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(src2)
-        src = src + nn.Dropout(self.dropout, deterministic=not train)(src2)
-        return nn.LayerNorm(dtype=self.dtype, name="norm2")(src)
+        src = src + nn.Dropout(self.dropout, deterministic=det)(src2)
+        src = nn.LayerNorm(dtype=self.dtype, name="norm2")(src)
+        return src, None
 
 
 class DecoderLayer(nn.Module):
@@ -185,30 +194,8 @@ class BoxTransformer(nn.Module):
     residual_mode: str = "v1"
     dtype: Any = jnp.float32
 
-    def setup(self):
-        self.encoder_layers = [
-            EncoderLayer(self.d_model, self.nhead, self.nlevel,
-                         self.dim_feedforward, self.dropout, dtype=self.dtype,
-                         name=f"encoder_layer{i}")
-            for i in range(self.num_encoder_layers)
-        ]
-        self.decoder_layers = [
-            DecoderLayer(self.d_model, self.nhead, self.nlevel,
-                         self.dim_feedforward, self.dropout, self.use_mask,
-                         self.residual_mode, dtype=self.dtype,
-                         name=f"decoder_layer{i}")
-            for i in range(self.num_decoder_layers)
-        ]
-        # shared encoder-proposal head (reference enc_detector,
-        # boxer2d.py:28-30 + box_transformer.py:211)
-        self.enc_detector = Detector(self.d_model, 1, aux_loss=False,
-                                     use_focal=True, dtype=self.dtype,
-                                     name="enc_detector")
-        self.enc_linear = nn.Dense(self.d_model, dtype=self.dtype,
-                                   name="enc_linear")
-        self.enc_norm = nn.LayerNorm(dtype=self.dtype, name="enc_norm")
-
-    def _get_enc_proposals(self, output, src_mask, ref_windows):
+    def _get_enc_proposals(self, enc_detector, enc_linear, enc_norm,
+                           output, src_mask, ref_windows):
         """Top-num_queries proposal selection (reference
         `box_transformer.py:200-230`)."""
         valid = ((ref_windows[..., :2] > 0.01)
@@ -218,18 +205,17 @@ class BoxTransformer(nn.Module):
         else:
             mask = ~valid
 
-        out_logits = self.enc_detector.class_embed(output)[..., 0]
+        out_logits = enc_detector.class_embed(output)[..., 0]
         out_logits = jnp.where(mask, NEG_INF, out_logits.astype(jnp.float32))
         _, indexes = jax.lax.top_k(out_logits, self.num_queries)  # (B, nq)
 
         gather = lambda arr: jnp.take_along_axis(
             arr, indexes[..., None], axis=1)
         output_embed = gather(output)
-        out_embed = self.enc_norm(
-            self.enc_linear(jax.lax.stop_gradient(output_embed)))
+        out_embed = enc_norm(enc_linear(jax.lax.stop_gradient(output_embed)))
 
         ref = gather(ref_windows)
-        tmp_ref = self.enc_detector.bbox_embed(output_embed).astype(jnp.float32)
+        tmp_ref = enc_detector.bbox_embed(output_embed).astype(jnp.float32)
         tmp_ref = tmp_ref + inverse_sigmoid(ref)
         out_ref_windows = jax.lax.stop_gradient(nn.sigmoid(tmp_ref))
 
@@ -237,7 +223,8 @@ class BoxTransformer(nn.Module):
         size = get_proposal_pos_embed(out_ref_windows[..., 2:], self.d_model)
         return out_embed, out_ref_windows, (pos + size).astype(output.dtype)
 
-    def compute_enc_outputs(self, src_embed, src_ref_windows, src_mask):
+    def _compute_enc_outputs(self, enc_detector, src_embed, src_ref_windows,
+                             src_mask):
         """Encoder auxiliary head over all source tokens (train only;
         reference `boxer2d.py:151-170`)."""
         valid = ((src_ref_windows[..., :2] > 0.01)
@@ -245,11 +232,12 @@ class BoxTransformer(nn.Module):
         mask = (src_mask | (~valid)) if src_mask is not None else (~valid)
         src_embed = jnp.where(mask[..., None], 0.0, src_embed)
         src_ref = jnp.where(mask[..., None], 0.0, src_ref_windows)
-        enc_out = self.enc_detector(src_embed[None], src_ref[None],
-                                    x_mask=mask[None])
+        enc_out = enc_detector(src_embed[None], src_ref[None],
+                               x_mask=mask[None])
         return [{"pred_logits": enc_out["pred_logits"],
                  "pred_boxes": enc_out["pred_boxes"]}]
 
+    @nn.compact
     def __call__(self, srcs: Sequence[jnp.ndarray], masks, pos_list,
                  train: bool = True, inference: bool = False):
         """srcs: list of (B, Hi, Wi, C); masks: list of (B, Hi, Wi) or [None];
@@ -269,24 +257,44 @@ class BoxTransformer(nn.Module):
             [p.reshape(p.shape[0], -1, p.shape[-1]) for p in pos_list], axis=1
         )
 
-        # ---- encoder ----
-        output = src
-        for layer in self.encoder_layers:
-            output = layer(output, src_pos, v_shape, src_mask, valid_ratios,
-                           src_ref_windows, train)
+        # ---- encoder: nn.scan over one compiled layer ----
+        ScannedEncoder = nn.scan(
+            EncoderLayer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=nn.broadcast,
+            length=self.num_encoder_layers,
+        )
+        output, _ = ScannedEncoder(
+            self.d_model, self.nhead, self.nlevel, self.dim_feedforward,
+            self.dropout, v_shape=v_shape, deterministic=not train,
+            dtype=self.dtype, name="encoder_layers",
+        )(src, src_pos, src_mask, valid_ratios, src_ref_windows)
+
+        # shared enc-proposal head
+        enc_detector = Detector(self.d_model, 1, aux_loss=False,
+                                use_focal=True, dtype=self.dtype,
+                                name="enc_detector")
+        enc_linear = nn.Dense(self.d_model, dtype=self.dtype, name="enc_linear")
+        enc_norm = nn.LayerNorm(dtype=self.dtype, name="enc_norm")
 
         dec_embed, dec_ref_windows, dec_pos = self._get_enc_proposals(
-            output, src_mask, src_ref_windows)
+            enc_detector, enc_linear, enc_norm, output, src_mask,
+            src_ref_windows)
 
-        # ---- decoder ----
+        # ---- decoder (unrolled: tiny query set, per-layer roi logic) ----
         tgt = dec_embed
         inter, inter_roi = [], []
-        n_dec = len(self.decoder_layers)
-        for i, layer in enumerate(self.decoder_layers):
+        n_dec = self.num_decoder_layers
+        for i in range(n_dec):
             is_last = i == n_dec - 1
             emit_roi = self.use_mask and (not inference or is_last)
-            tgt, roi = layer(tgt, dec_pos, output, v_shape, src_mask,
-                             valid_ratios, dec_ref_windows, train, emit_roi)
+            tgt, roi = DecoderLayer(
+                self.d_model, self.nhead, self.nlevel, self.dim_feedforward,
+                self.dropout, self.use_mask, self.residual_mode,
+                dtype=self.dtype, name=f"decoder_layer{i}",
+            )(tgt, dec_pos, output, v_shape, src_mask, valid_ratios,
+              dec_ref_windows, train, emit_roi)
             inter.append(tgt)
             inter_roi.append(roi)
 
@@ -299,8 +307,8 @@ class BoxTransformer(nn.Module):
 
         enc_outputs = None
         if not inference:
-            enc_outputs = self.compute_enc_outputs(
-                output, src_ref_windows, src_mask)
+            enc_outputs = self._compute_enc_outputs(
+                enc_detector, output, src_ref_windows, src_mask)
 
         return (hs, roi, dec_ref_windows, output, src_ref_windows, src_mask,
                 v_shape, enc_outputs)
