@@ -25,8 +25,21 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from boxer_tpu.ops import box_attention_dispatch, instance_attention
+from boxer_tpu.ops.box_attention import box_attention_qminor
 
 Shapes = Tuple[Tuple[int, int], ...]
+
+
+def _qminor_ref_parts(ref_windows, num_head, num_level, n_box: int = 4):
+    """Transpose ref windows to query-minor broadcastable parts.
+
+    ref_windows (B, LQ, D) or (B, LQ, H, D) -> tuple of D arrays each
+    (B, 1|H, 1, LQ) broadcastable against (B, H, L, LQ)."""
+    if ref_windows.ndim == 3:
+        ref_t = jnp.moveaxis(ref_windows, 1, -1)  # (B, D, LQ)
+        return [ref_t[:, None, None, i] for i in range(ref_windows.shape[-1])]
+    ref_t = jnp.moveaxis(ref_windows, 1, -1)      # (B, H, D, LQ)
+    return [ref_t[:, :, None, i] for i in range(ref_windows.shape[-1])]
 
 
 def make_kernel_indices(kernel_size: int, divisor: Optional[float] = None):
@@ -84,28 +97,38 @@ class BoxAttention(nn.Module):
             dtype=self.dtype, name="linear_attn")
 
     def _where_to_attend(self, query, v_valid_ratios, ref_windows):
-        """ref_windows: (B, L, 4) or (B, L, H, 4) normalized cxcywh."""
-        b, l = ref_windows.shape[:2]
-        offset = self.linear_box(query).reshape(
-            b, l, self.num_head, self.num_level, 4
-        ).astype(jnp.float32)
+        """Query-minor sampling grid: returns (gx, gy) each
+        (B, H, L, P, LQ) in [0,1]. ref_windows: (B, LQ, 4) or (B, LQ, H, 4).
 
-        if ref_windows.ndim == 3:
-            ref = ref_windows[:, :, None, None]  # (B, L, 1, 1, 4)
-        else:
-            ref = ref_windows[:, :, :, None]  # (B, L, H, 1, 4)
+        TPU note: all intermediates keep the large LQ axis minor — the
+        reference-layout (..., P, 2) grid would pad to (8, 128) tiles and
+        move ~30-60x its logical size through HBM.
+        """
+        b, lq = query.shape[:2]
+        nh, nl = self.num_head, self.num_level
 
-        ref_wh = ref[..., jnp.array([2, 3, 2, 3])]
-        boxes = ref + offset / 8.0 * ref_wh
-        center = boxes[..., None, :2]
-        size = boxes[..., None, 2:]
+        offset = self.linear_box(query)                      # (B, LQ, H*L*4)
+        off = jnp.moveaxis(offset, 1, -1).astype(jnp.float32)
+        off = off.reshape(b, nh, nl, 4, lq)
+        dx, dy, dw, dh = off[:, :, :, 0], off[:, :, :, 1], \
+            off[:, :, :, 2], off[:, :, :, 3]                  # (B, H, L, LQ)
 
-        kernel = make_kernel_indices(self.kernel_size)
-        grid = center + kernel * nn.relu(size)  # (B, L, H, nlevel, P, 2)
+        rcx, rcy, rw, rh = _qminor_ref_parts(ref_windows, nh, nl)
+        cx = rcx + dx / 8.0 * rw
+        cy = rcy + dy / 8.0 * rh
+        sw = nn.relu(rw + dw / 8.0 * rw)
+        sh = nn.relu(rh + dh / 8.0 * rh)
+
+        kernel = make_kernel_indices(self.kernel_size)       # (P, 2)
+        kx = kernel[:, 0][None, None, None, :, None]
+        ky = kernel[:, 1][None, None, None, :, None]
+        gx = cx[:, :, :, None, :] + kx * sw[:, :, :, None, :]
+        gy = cy[:, :, :, None, :] + ky * sh[:, :, :, None, :]
         if v_valid_ratios is not None:
-            # v_valid_ratios: (B, nlevel, 2) -> broadcast over (Lq, H, P)
-            grid = grid * v_valid_ratios[:, None, None, :, None, :]
-        return grid
+            # (B, L, 2) -> broadcast (B, 1, L, 1, 1)
+            gx = gx * v_valid_ratios[:, None, :, None, None, 0]
+            gy = gy * v_valid_ratios[:, None, :, None, None, 1]
+        return gx, gy
 
     def __call__(self, query, value, v_shape: Shapes, v_mask, v_valid_ratios,
                  ref_windows):
@@ -119,12 +142,14 @@ class BoxAttention(nn.Module):
 
         attn = self.linear_attn(query).reshape(b, l1, self.num_head, -1)
         attn = nn.softmax(attn.astype(jnp.float32), axis=-1)
-        attn = attn.reshape(
-            b, l1, self.num_head, self.num_level, self.num_point
-        )
+        # query-minor: (B, LQ, H, L*P) -> (B, H, L, P, LQ)
+        attn_q = jnp.moveaxis(attn, 1, -1).reshape(
+            b, self.num_head, self.num_level, self.num_point, l1)
 
-        grid = self._where_to_attend(query, v_valid_ratios, ref_windows)
-        out = box_attention_dispatch(value, v_shape, grid, attn)
+        gx, gy = self._where_to_attend(query, v_valid_ratios, ref_windows)
+        out = box_attention_qminor(value, v_shape, gx, gy, attn_q)
+        attn = attn.reshape(
+            b, l1, self.num_head, self.num_level, self.num_point)
         return self.out_proj(out), attn
 
 
@@ -173,7 +198,7 @@ class InstanceAttention(nn.Module):
         else:
             ref = ref_windows[:, :, :, None]
 
-        ref_wh = ref[..., jnp.array([2, 3, 2, 3])]
+        ref_wh = jnp.concatenate([ref[..., 2:4], ref[..., 2:4]], axis=-1)
         boxes = ref + offset / 8.0 * ref_wh
         center = boxes[..., None, :2]
         size = boxes[..., None, 2:]
@@ -259,46 +284,48 @@ class Box3dAttention(nn.Module):
             dtype=self.dtype, name="linear_attn")
 
     def _where_to_attend(self, query, v_valid_ratios, ref_windows):
-        b, l = ref_windows.shape[:2]
-        offset = self.linear_box(query).reshape(
-            b, l, self.num_head, self.num_level, self.num_variable
-        ).astype(jnp.float32)
+        """Query-minor rotated grid: (gx, gy) each (B, H, L, P, LQ).
 
-        if ref_windows.ndim == 3:
-            ref_full = ref_windows[:, :, None, None]  # (B,L,1,1,7)
-            ref = ref_full[..., :4]
-            ref_angles = ref_full[..., 4:5]
-        else:
-            ref_full = ref_windows[:, :, :, None]  # (B,L,H,1,5)
-            ref = ref_full[..., :4]
-            ref_angles = ref_full[..., 4:5]
+        grid = center + R(angle) @ (kernel * size) with
+        angle = (ref_angle + dtheta/16) * 2π (reference
+        `box_attention.py:304-338`), all math query-minor.
+        """
+        b, lq = query.shape[:2]
+        nh, nl, nv = self.num_head, self.num_level, self.num_variable
+
+        offset = self.linear_box(query)                   # (B, LQ, H*L*nv)
+        off = jnp.moveaxis(offset, 1, -1).astype(jnp.float32)
+        off = off.reshape(b, nh, nl, nv, lq)
+        dx, dy, dw, dh = off[:, :, :, 0], off[:, :, :, 1], \
+            off[:, :, :, 2], off[:, :, :, 3]
+
+        parts = _qminor_ref_parts(ref_windows, nh, nl)
+        rcx, rcy, rw, rh, rang = parts[0], parts[1], parts[2], parts[3], parts[4]
 
         if self.with_rotation:
-            offset_box = offset[..., :4]
-            offset_angle = offset[..., 4:5]
-            angles = (ref_angles + offset_angle / 16.0) * 2.0 * math.pi
+            dthe = off[:, :, :, 4]
+            angles = (rang + dthe / 16.0) * 2.0 * math.pi
         else:
-            offset_box = offset
-            angles = jnp.broadcast_to(
-                ref_angles, (b, l, self.num_head, self.num_level, 1)
-            )
+            angles = jnp.broadcast_to(rang, (b, nh, nl, lq))
 
-        ref_wh = ref[..., jnp.array([2, 3, 2, 3])]
-        boxes = ref + offset_box / 8.0 * ref_wh
-        center = boxes[..., None, :2]
-        size = boxes[..., None, 2:]
-
-        cos_a = jnp.cos(angles)
-        sin_a = jnp.sin(angles)
-        rot = jnp.stack([cos_a, -sin_a, sin_a, cos_a], axis=-1)
-        rot = rot.reshape(b, l, self.num_head, self.num_level, 1, 2, 2)
+        cx = rcx + dx / 8.0 * rw
+        cy = rcy + dy / 8.0 * rh
+        sw = nn.relu(rw + dw / 8.0 * rw)
+        sh = nn.relu(rh + dh / 8.0 * rh)
+        cos_a = jnp.cos(angles)[:, :, :, None, :]
+        sin_a = jnp.sin(angles)[:, :, :, None, :]
 
         kernel = make_kernel_indices(self.kernel_size, divisor=2.0)
-        grid = kernel * nn.relu(size)  # (B,L,H,nl,P,2)
-        grid = center + (grid[..., None, :] * rot).sum(-1)
+        kx = kernel[:, 0][None, None, None, :, None]
+        ky = kernel[:, 1][None, None, None, :, None]
+        ox = kx * sw[:, :, :, None, :]
+        oy = ky * sh[:, :, :, None, :]
+        gx = cx[:, :, :, None, :] + ox * cos_a - oy * sin_a
+        gy = cy[:, :, :, None, :] + ox * sin_a + oy * cos_a
         if v_valid_ratios is not None:
-            grid = grid * v_valid_ratios[:, None, None, :, None, :]
-        return grid
+            gx = gx * v_valid_ratios[:, None, :, None, None, 0]
+            gy = gy * v_valid_ratios[:, None, :, None, None, 1]
+        return gx, gy
 
     def __call__(self, query, value, v_shape: Shapes, v_mask, v_valid_ratios,
                  ref_windows):
@@ -312,10 +339,11 @@ class Box3dAttention(nn.Module):
 
         attn = self.linear_attn(query).reshape(b, l1, self.num_head, -1)
         attn = nn.softmax(attn.astype(jnp.float32), axis=-1)
-        attn = attn.reshape(
-            b, l1, self.num_head, self.num_level, self.num_point
-        )
+        attn_q = jnp.moveaxis(attn, 1, -1).reshape(
+            b, self.num_head, self.num_level, self.num_point, l1)
 
-        grid = self._where_to_attend(query, v_valid_ratios, ref_windows)
-        out = box_attention_dispatch(value, v_shape, grid, attn)
+        gx, gy = self._where_to_attend(query, v_valid_ratios, ref_windows)
+        out = box_attention_qminor(value, v_shape, gx, gy, attn_q)
+        attn = attn.reshape(
+            b, l1, self.num_head, self.num_level, self.num_point)
         return self.out_proj(out), attn

@@ -21,6 +21,15 @@ from boxer_tpu.utils.general import inverse_sigmoid
 NEG_INF = -65504.0  # largest finite fp16-representable magnitude (reference parity)
 
 
+def _permute_7dof(coord):
+    """Reorder raw head outputs (x,y,l,w,rad,z,h) -> (x,y,z,l,w,h,rad) with
+    static slices (a fancy-index permutation would lower to a slow TPU
+    gather). Parity: reference dim permute `predictor.py:166,224`."""
+    return jnp.concatenate(
+        [coord[..., 0:2], coord[..., 5:6], coord[..., 2:4],
+         coord[..., 6:7], coord[..., 4:5]], axis=-1)
+
+
 def prior_prob_bias_init(prior_prob: float = 0.01):
     """Focal-loss class bias init (reference `boxer2d.py:83-99`)."""
     bias_value = -math.log((1 - prior_prob) / prior_prob)
@@ -187,9 +196,7 @@ class Detector3d(nn.Module):
         outputs_coord = outputs_coord + inverse_sigmoid(
             ref_windows.astype(jnp.float32)
         )
-        outputs_coord = nn.sigmoid(
-            outputs_coord[..., jnp.array([0, 1, 5, 2, 3, 6, 4])]
-        )
+        outputs_coord = nn.sigmoid(_permute_7dof(outputs_coord))
 
         if x_mask is not None:
             outputs_class = jnp.where(x_mask[..., None], NEG_INF, outputs_class)
@@ -245,7 +252,7 @@ class MultiDetector3d(nn.Module):
         box, height = outputs_coord[..., :5], outputs_coord[..., 5:]
         box = box + inverse_sigmoid(ref.astype(jnp.float32))
         outputs_coord = jnp.concatenate([box, height], axis=-1)
-        outputs_coord = outputs_coord[..., jnp.array([0, 1, 5, 2, 3, 6, 4])]
+        outputs_coord = _permute_7dof(outputs_coord)
 
         outputs_class = jnp.where(mask[..., None], NEG_INF, outputs_class)
         outputs_coord = jnp.where(mask[..., None], NEG_INF, outputs_coord)

@@ -41,14 +41,14 @@ from boxer_tpu.utils.general import level_start_index
 Shapes = Tuple[Tuple[int, int], ...]
 
 
-def _gather_level_samples(value_l, loc_l):
-    """Bilinear-sample one level for all (batch*head) slices.
+def _corner_indices_and_weights(loc_l, h, w, base):
+    """Bilinear corner global indices + weights for one level.
 
-    value_l: (BH, Hl, Wl, Ch)
-    loc_l:   (BH, N, 2) in [0,1]
-    returns  (BH, N, Ch) fp32
+    loc_l: (BH, N, 2) in [0,1]; base: (BH, 1) global row offset of this level
+    in the flattened (BH*S, Ch) value table.
+    Returns idx (4, BH, N) int32 into the flat table (out-of-bounds corners
+    clamped) and weights (4, BH, N) fp32 (zeroed outside).
     """
-    bh, h, w, ch = value_l.shape
     x = loc_l[..., 0].astype(jnp.float32) * w - 0.5
     y = loc_l[..., 1].astype(jnp.float32) * h - 0.5
 
@@ -59,51 +59,126 @@ def _gather_level_samples(value_l, loc_l):
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    flat = value_l.reshape(bh, h * w, ch)
-
-    def tap(xi, yi, wgt):
+    def corner(xi, yi, wgt):
         valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-        idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
-        vals = jnp.take_along_axis(flat, idx[..., None], axis=1).astype(jnp.float32)
-        return vals * jnp.where(valid, wgt, 0.0)[..., None]
+        idx = base + jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+        return idx, jnp.where(valid, wgt, 0.0)
 
-    return (
-        tap(x0i, y0i, (1.0 - lx) * (1.0 - ly))
-        + tap(x0i + 1, y0i, lx * (1.0 - ly))
-        + tap(x0i, y0i + 1, (1.0 - lx) * ly)
-        + tap(x0i + 1, y0i + 1, lx * ly)
-    )
+    i00, w00 = corner(x0i, y0i, (1.0 - lx) * (1.0 - ly))
+    i01, w01 = corner(x0i + 1, y0i, lx * (1.0 - ly))
+    i10, w10 = corner(x0i, y0i + 1, (1.0 - lx) * ly)
+    i11, w11 = corner(x0i + 1, y0i + 1, lx * ly)
+    return (jnp.stack([i00, i01, i10, i11]),
+            jnp.stack([w00, w01, w10, w11]))
+
+
+def _gather_level_samples(value_l, loc_l):
+    """Bilinear-sample one level for all (batch*head) slices.
+
+    Slow-path helper kept for the instance-attention dual-output op.
+    value_l: (BH, Hl, Wl, Ch); loc_l: (BH, N, 2) in [0,1] -> (BH, N, Ch) fp32.
+
+    TPU note: indices are globalized so the lookup is ONE flat `jnp.take`
+    (embedding-style gather, XLA's fast path) instead of a batched
+    take_along_axis (which lowers to a slow per-batch gather on TPU).
+    """
+    bh, h, w, ch = value_l.shape
+    n = loc_l.shape[1]
+    base = (jnp.arange(bh, dtype=jnp.int32) * (h * w))[:, None]
+    idx, wgt = _corner_indices_and_weights(loc_l, h, w, base)
+    flat = value_l.reshape(bh * h * w, ch)
+    vals = jnp.take(flat, idx.reshape(-1), axis=0).astype(jnp.float32)
+    vals = vals.reshape(4, bh, n, ch)
+    return (vals * wgt[..., None]).sum(axis=0)
+
+
+def box_attention_qminor(value, shapes: Shapes, gx, gy, attn_weight):
+    """Multi-scale deformable box attention — query-minor fast path.
+
+    TPU layout note: arrays pad their last two dims to an (8, 128) tile, so
+    any tensor shaped (..., P, 2) carries a 32-64x memory bloat. This path
+    therefore keeps EVERY per-tap tensor query-minor — (B, H, L, P, LQ) —
+    where the minor dim is the large query axis. The lookup itself is one
+    flat embedding-style `jnp.take` (XLA's fast gather), fused by XLA into
+    the tap-reduction einsum.
+
+    value:       (B, S, H, Ch)
+    gx, gy:      (B, H, L, P, LQ) normalized [0,1] sample coordinates
+    attn_weight: (B, H, L, P, LQ) fp32, softmax-normalized over (L, P)
+    returns      (B, LQ, H*Ch) in value.dtype
+    """
+    b, s, nh, ch = value.shape
+    _, _, nl, npt, lq = gx.shape
+    assert nl == len(shapes)
+    starts = level_start_index(shapes)
+    bh = b * nh
+
+    flat = value.transpose(0, 2, 1, 3).reshape(bh * s, ch)
+    gx = gx.reshape(bh, nl, npt, lq).astype(jnp.float32)
+    gy = gy.reshape(bh, nl, npt, lq).astype(jnp.float32)
+    aw = attn_weight.reshape(bh, nl, npt, lq).astype(jnp.float32)
+    base_bh = (jnp.arange(bh, dtype=jnp.int32) * s)[:, None, None]
+
+    idx_parts, wgt_parts = [], []
+    for li, (hl, wl) in enumerate(shapes):
+        x = gx[:, li] * wl - 0.5          # (BH, P, LQ)
+        y = gy[:, li] * hl - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        lx = x - x0
+        ly = y - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        base = base_bh + starts[li]
+
+        def corner(xi, yi, cw):
+            valid = (xi >= 0) & (xi < wl) & (yi >= 0) & (yi < hl)
+            idx = base + jnp.clip(yi, 0, hl - 1) * wl + jnp.clip(xi, 0, wl - 1)
+            return idx, jnp.where(valid, cw, 0.0)
+
+        w_l = aw[:, li]
+        for xi, yi, cw in (
+            (x0i, y0i, (1.0 - lx) * (1.0 - ly)),
+            (x0i + 1, y0i, lx * (1.0 - ly)),
+            (x0i, y0i + 1, (1.0 - lx) * ly),
+            (x0i + 1, y0i + 1, lx * ly),
+        ):
+            idx, cwv = corner(xi, yi, cw)
+            idx_parts.append(idx)          # (BH, P, LQ)
+            wgt_parts.append(cwv * w_l)
+
+    idx = jnp.stack(idx_parts)             # (K=4*L, BH, P, LQ)
+    wgt = jnp.stack(wgt_parts)
+    k = idx.shape[0] * npt
+
+    vals = jnp.take(flat, idx.reshape(-1), axis=0)
+    # (K, BH, P, LQ, Ch) — explicit multiply + reduce (NOT einsum: a
+    # dot_general would materialize the padded gather output; an elementwise
+    # chain lets XLA fuse gather -> mul -> reduce in one pass).
+    vals = vals.reshape(idx.shape[0], bh, npt, lq, ch)
+    out = (vals.astype(jnp.float32) * wgt[..., None]).sum(axis=(0, 2))
+
+    out = out.reshape(b, nh, lq, ch).transpose(0, 2, 1, 3).reshape(b, lq, nh * ch)
+    return out.astype(value.dtype)
 
 
 def box_attention(value, shapes: Shapes, sampling_loc, attn_weight):
-    """Multi-scale deformable box attention (XLA formulation).
+    """Multi-scale deformable box attention (reference-contract wrapper).
 
     value:        (B, S, H, Ch) — S = sum(Hl*Wl) flattened multi-level values
     shapes:       static ((H1,W1), ..., (HL,WL))
     sampling_loc: (B, Lq, H, L, P, 2) in [0,1]
     attn_weight:  (B, Lq, H, L, P), softmax-normalized over (L, P)
     returns       (B, Lq, H*Ch) in value.dtype
+
+    Transposes the reference-layout inputs into the query-minor fast path
+    (modules call `box_attention_qminor` directly and never build the
+    (..., P, 2)-shaped tensors at all).
     """
-    b, s, nh, ch = value.shape
-    _, lq, _, nl, npt, _ = sampling_loc.shape
-    assert nl == len(shapes)
-    starts = level_start_index(shapes)
-
-    out = jnp.zeros((b * nh, lq, ch), dtype=jnp.float32)
-    for li, (hl, wl) in enumerate(shapes):
-        # (B, Hl*Wl, H, Ch) -> (B*H, Hl, Wl, Ch)
-        v_l = value[:, starts[li] : starts[li] + hl * wl]
-        v_l = v_l.transpose(0, 2, 1, 3).reshape(b * nh, hl, wl, ch)
-        # (B, Lq, H, P, 2) -> (B*H, Lq*P, 2)
-        loc_l = sampling_loc[:, :, :, li].transpose(0, 2, 1, 3, 4)
-        loc_l = loc_l.reshape(b * nh, lq * npt, 2)
-        sampled = _gather_level_samples(v_l, loc_l).reshape(b * nh, lq, npt, ch)
-        w_l = attn_weight[:, :, :, li].transpose(0, 2, 1, 3)
-        w_l = w_l.reshape(b * nh, lq, npt).astype(jnp.float32)
-        out = out + jnp.einsum("gqp,gqpc->gqc", w_l, sampled)
-
-    out = out.reshape(b, nh, lq, ch).transpose(0, 2, 1, 3).reshape(b, lq, nh * ch)
-    return out.astype(value.dtype)
+    gx = jnp.moveaxis(sampling_loc[..., 0], 1, -1)   # (B, H, L, P, LQ)
+    gy = jnp.moveaxis(sampling_loc[..., 1], 1, -1)
+    aw = jnp.moveaxis(attn_weight, 1, -1)
+    return box_attention_qminor(value, shapes, gx, gy, aw)
 
 
 def instance_attention(value, shapes: Shapes, sampling_loc, spatial_weight,
