@@ -92,14 +92,24 @@ class DataLoader:
         a = self.iter_per_update
         mb = self.batch_size // a
 
-        def split(x):
-            if isinstance(x, np.ndarray) and x.shape[0] == self.batch_size:
-                return x.reshape((a, mb) + x.shape[1:])
-            return x
+        if a == 1:
+            # single microbatch: uniform leading A=1 dim on every array
+            def split(x):
+                return x[None] if isinstance(x, np.ndarray) else x
+        else:
+            if "voxels" in batch:
+                raise NotImplementedError(
+                    "iter_per_update > 1 for voxel batches requires "
+                    "per-sample voxel capacity splitting")
+
+            def split(x):
+                if isinstance(x, np.ndarray) and x.shape[0] == self.batch_size:
+                    return x.reshape((a, mb) + x.shape[1:])
+                return x
 
         out = {}
         for k, v in batch.items():
-            if k == "meta":
+            if k in ("meta", "grid_shape", "batch_size"):
                 out[k] = v
             elif isinstance(v, dict):
                 out[k] = {kk: split(vv) for kk, vv in v.items()}

@@ -92,15 +92,49 @@ def _gather_level_samples(value_l, loc_l):
     return (vals * wgt[..., None]).sum(axis=0)
 
 
-def box_attention_qminor(value, shapes: Shapes, gx, gy, attn_weight):
-    """Multi-scale deformable box attention — query-minor fast path.
+def _build_quad_tables(value, shapes):
+    """Pack each level's 2x2 pixel neighborhoods into 4*Ch-wide rows.
 
-    TPU layout note: arrays pad their last two dims to an (8, 128) tile, so
-    any tensor shaped (..., P, 2) carries a 32-64x memory bloat. This path
-    therefore keeps EVERY per-tap tensor query-minor — (B, H, L, P, LQ) —
-    where the minor dim is the large query axis. The lookup itself is one
-    flat embedding-style `jnp.take` (XLA's fast gather), fused by XLA into
-    the tap-reduction einsum.
+    value: (B, S, H, Ch) flattened levels. Returns (table (R, 4*Ch), bases)
+    where table row r = [V[y,x], V[y,x+1], V[y+1,x], V[y+1,x+1]] of the
+    zero-border-padded level image, R = sum over levels of
+    BH*(Hl+1)*(Wl+1), and bases[li] is each level's starting row for bh=0
+    with stride (Hl+1)*(Wl+1) per bh slice laid out level-major.
+
+    Why: XLA:TPU's vectorized gather is fetch-count-bound (~2ns/row
+    regardless of row width up to 128 lanes), so fetching all four bilinear
+    corners in ONE 4*Ch-wide row quarters the dominant cost of the op. The
+    1-px zero border makes edge taps exact without per-corner masking.
+    """
+    b, s, nh, ch = value.shape
+    bh = b * nh
+    starts = level_start_index(shapes)
+    v = value.transpose(0, 2, 1, 3).reshape(bh, s, ch)
+
+    tables = []
+    bases = []
+    row_acc = 0
+    for li, (hl, wl) in enumerate(shapes):
+        lvl = v[:, starts[li]:starts[li] + hl * wl].reshape(bh, hl, wl, ch)
+        # zero border: pad to (hl+2, wl+2), quads indexed over (hl+1, wl+1)
+        lvl = jnp.pad(lvl, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        q = jnp.concatenate([
+            lvl[:, :-1, :-1], lvl[:, :-1, 1:],
+            lvl[:, 1:, :-1], lvl[:, 1:, 1:],
+        ], axis=-1)  # (BH, hl+1, wl+1, 4*Ch)
+        tables.append(q.reshape(bh * (hl + 1) * (wl + 1), 4 * ch))
+        bases.append(row_acc)
+        row_acc += bh * (hl + 1) * (wl + 1)
+    return jnp.concatenate(tables, axis=0), bases
+
+
+def box_attention_qminor(value, shapes: Shapes, gx, gy, attn_weight):
+    """Multi-scale deformable box attention — quad-table fast path.
+
+    TPU design (see _build_quad_tables): ONE flat vectorized gather fetches
+    all 4 bilinear corners per tap; all per-tap tensors are query-minor
+    (B, H, L, P, LQ) so nothing hits the (8,128)-tile padding bloat of
+    (..., P, 2)-shaped layouts.
 
     value:       (B, S, H, Ch)
     gx, gy:      (B, H, L, P, LQ) normalized [0,1] sample coordinates
@@ -110,53 +144,50 @@ def box_attention_qminor(value, shapes: Shapes, gx, gy, attn_weight):
     b, s, nh, ch = value.shape
     _, _, nl, npt, lq = gx.shape
     assert nl == len(shapes)
-    starts = level_start_index(shapes)
     bh = b * nh
 
-    flat = value.transpose(0, 2, 1, 3).reshape(bh * s, ch)
+    table, bases = _build_quad_tables(value, shapes)
     gx = gx.reshape(bh, nl, npt, lq).astype(jnp.float32)
     gy = gy.reshape(bh, nl, npt, lq).astype(jnp.float32)
     aw = attn_weight.reshape(bh, nl, npt, lq).astype(jnp.float32)
-    base_bh = (jnp.arange(bh, dtype=jnp.int32) * s)[:, None, None]
+    bh_idx = jnp.arange(bh, dtype=jnp.int32)[:, None]
 
-    idx_parts, wgt_parts = [], []
+    idx_parts = []
+    wgt_parts = []   # per part: (4, BH, LQ) corner weights (attn folded in)
     for li, (hl, wl) in enumerate(shapes):
-        x = gx[:, li] * wl - 0.5          # (BH, P, LQ)
-        y = gy[:, li] * hl - 0.5
-        x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
-        lx = x - x0
-        ly = y - y0
-        x0i = x0.astype(jnp.int32)
-        y0i = y0.astype(jnp.int32)
-        base = base_bh + starts[li]
+        stride = (hl + 1) * (wl + 1)
+        base = bases[li] + bh_idx * stride
+        for p in range(npt):
+            x = gx[:, li, p] * wl - 0.5          # (BH, LQ)
+            y = gy[:, li, p] * hl - 0.5
+            x0 = jnp.floor(x)
+            y0 = jnp.floor(y)
+            lx = x - x0
+            ly = y - y0
+            x0i = x0.astype(jnp.int32)
+            y0i = y0.astype(jnp.int32)
+            # whole-tap validity; the zero border makes edge taps exact
+            valid = ((x0i >= -1) & (x0i <= wl - 1)
+                     & (y0i >= -1) & (y0i <= hl - 1))
+            xq = jnp.clip(x0i + 1, 0, wl)
+            yq = jnp.clip(y0i + 1, 0, hl)
+            idx_parts.append(base + yq * (wl + 1) + xq)
+            w_tap = jnp.where(valid, aw[:, li, p], 0.0)
+            wgt_parts.append(jnp.stack([
+                (1.0 - lx) * (1.0 - ly) * w_tap,
+                lx * (1.0 - ly) * w_tap,
+                (1.0 - lx) * ly * w_tap,
+                lx * ly * w_tap,
+            ]))
 
-        def corner(xi, yi, cw):
-            valid = (xi >= 0) & (xi < wl) & (yi >= 0) & (yi < hl)
-            idx = base + jnp.clip(yi, 0, hl - 1) * wl + jnp.clip(xi, 0, wl - 1)
-            return idx, jnp.where(valid, cw, 0.0)
+    k = len(idx_parts)                           # nl * npt
+    idx = jnp.stack(idx_parts)                   # (K, BH, LQ)
+    wgt = jnp.stack(wgt_parts)                   # (K, 4, BH, LQ)
 
-        w_l = aw[:, li]
-        for xi, yi, cw in (
-            (x0i, y0i, (1.0 - lx) * (1.0 - ly)),
-            (x0i + 1, y0i, lx * (1.0 - ly)),
-            (x0i, y0i + 1, (1.0 - lx) * ly),
-            (x0i + 1, y0i + 1, lx * ly),
-        ):
-            idx, cwv = corner(xi, yi, cw)
-            idx_parts.append(idx)          # (BH, P, LQ)
-            wgt_parts.append(cwv * w_l)
-
-    idx = jnp.stack(idx_parts)             # (K=4*L, BH, P, LQ)
-    wgt = jnp.stack(wgt_parts)
-    k = idx.shape[0] * npt
-
-    vals = jnp.take(flat, idx.reshape(-1), axis=0)
-    # (K, BH, P, LQ, Ch) — explicit multiply + reduce (NOT einsum: a
-    # dot_general would materialize the padded gather output; an elementwise
-    # chain lets XLA fuse gather -> mul -> reduce in one pass).
-    vals = vals.reshape(idx.shape[0], bh, npt, lq, ch)
-    out = (vals.astype(jnp.float32) * wgt[..., None]).sum(axis=(0, 2))
+    vals = jnp.take(table, idx.reshape(-1), axis=0)
+    vals = vals.reshape(k, bh, lq, 4, ch)
+    wgt = wgt.transpose(0, 2, 3, 1)              # (K, BH, LQ, 4)
+    out = (vals.astype(jnp.float32) * wgt[..., None]).sum(axis=(0, 3))
 
     out = out.reshape(b, nh, lq, ch).transpose(0, 2, 1, 3).reshape(b, lq, nh * ch)
     return out.astype(value.dtype)

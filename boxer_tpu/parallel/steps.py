@@ -30,6 +30,28 @@ class TrainState(NamedTuple):
     opt_state: Any
 
 
+def apply_model(model, variables, batch, train: bool, inference: bool,
+                rngs=None, static=None):
+    """Uniform model invocation over the two batch families:
+    2D (image/mask) and 3D (voxels/coordinates/...).
+
+    `static`: dict of trace-time constants for the 3D path
+    ({"grid_shape": (nx, ny), "batch_size": B}) — these must NOT ride the
+    traced batch pytree (shapes must stay static under jit)."""
+    if "voxels" in batch:
+        static = static or {}
+        grid_shape = tuple(static.get("grid_shape")
+                           or batch["grid_shape"])
+        batch_size = int(static.get("batch_size")
+                         or batch["batch_size"])
+        return model.apply(
+            variables, batch["voxels"], batch["coordinates"],
+            batch["num_points_per_voxel"], grid_shape, batch_size,
+            train=train, inference=inference, rngs=rngs)
+    return model.apply(variables, batch["image"], batch.get("mask"),
+                       train=train, inference=inference, rngs=rngs)
+
+
 def create_train_state(params, constants, tx) -> TrainState:
     return TrainState(
         step=jnp.zeros((), jnp.int32),
@@ -46,6 +68,7 @@ def make_train_step(
     max_norm: float = 0.0,
     iter_per_update: int = 1,
     compute_dtype=jnp.float32,
+    static=None,
 ) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, stats).
 
@@ -57,16 +80,11 @@ def make_train_step(
     weight_dict = criterion.expanded_weight_dict(num_aux=16, num_enc=2)
 
     def microbatch_loss(params, constants, mb, num_boxes, rng):
-        def apply_fn():
-            variables = {"params": params}
-            if constants is not None:
-                variables["constants"] = constants
-            return model.apply(
-                variables, mb["image"], mb.get("mask"), train=True,
-                inference=False, rngs={"dropout": rng},
-            )
-
-        out = apply_fn()
+        variables = {"params": params}
+        if constants is not None:
+            variables["constants"] = constants
+        out = apply_model(model, variables, mb, train=True, inference=False,
+                          rngs={"dropout": rng}, static=static)
         losses = criterion(out, mb["targets"], num_boxes=num_boxes)
         total, stats = weighted_total(losses, weight_dict)
         return total, stats
@@ -141,7 +159,7 @@ def make_train_step(
     return train_step
 
 
-def make_eval_step(model, criterion=None) -> Callable:
+def make_eval_step(model, criterion=None, static=None) -> Callable:
     """eval_step(state, batch) -> (outputs, losses|None). Runs the model in
     val mode (full aux outputs, no dropout)."""
 
@@ -149,8 +167,8 @@ def make_eval_step(model, criterion=None) -> Callable:
         variables = {"params": state.params}
         if state.constants is not None:
             variables["constants"] = state.constants
-        out = model.apply(variables, batch["image"], batch.get("mask"),
-                          train=False, inference=False)
+        out = apply_model(model, variables, batch, train=False,
+                          inference=False, static=static)
         losses = None
         if criterion is not None and "targets" in batch:
             losses = criterion(out, batch["targets"])
@@ -160,14 +178,14 @@ def make_eval_step(model, criterion=None) -> Callable:
     return eval_step
 
 
-def make_inference_step(model) -> Callable:
+def make_inference_step(model, static=None) -> Callable:
     """inference_step(state, batch) -> outputs (test-mode topology)."""
 
     def inference_step(state: TrainState, batch):
         variables = {"params": state.params}
         if state.constants is not None:
             variables["constants"] = state.constants
-        return model.apply(variables, batch["image"], batch.get("mask"),
-                           train=False, inference=True)
+        return apply_model(model, variables, batch, train=False,
+                           inference=True, static=static)
 
     return inference_step

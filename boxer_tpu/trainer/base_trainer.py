@@ -139,14 +139,27 @@ class BaseTrainer:
         ipu = int(rc.get("iter_per_update", 1))
         self.criterion = build_loss(model_cfg["loss"], self.num_classes, ipu)
 
-        # init params on a representative (canvas-shaped) input
+        # init params on a representative input (2D canvas or 3D voxel batch)
         ds = next(iter(self.datasets.values()))
-        ch, cw = getattr(ds, "canvas", (256, 256))
-        image = jnp.zeros((1, ch, cw, 3), jnp.float32)
-        mask = jnp.zeros((1, ch, cw), bool)
-        variables = jax.jit(
-            lambda r: self.model.init(r, image, mask, train=False)
-        )(jax.random.PRNGKey(self.seed))
+        self.static_batch = None
+        if hasattr(ds, "grid_shape"):
+            bs = int(rc.get("batch_size", 16)) // max(jax.process_count(), 1)
+            self.static_batch = {"grid_shape": ds.grid_shape,
+                                 "batch_size": bs}
+            v = jnp.zeros((8, 20, 5), jnp.float32)
+            c = jnp.zeros((8, 4), jnp.int32)
+            npv = jnp.ones((8,), jnp.int32)
+            variables = jax.jit(
+                lambda r: self.model.init(r, v, c, npv, ds.grid_shape, bs,
+                                          train=False)
+            )(jax.random.PRNGKey(self.seed))
+        else:
+            ch, cw = getattr(ds, "canvas", (256, 256))
+            image = jnp.zeros((1, ch, cw, 3), jnp.float32)
+            mask = jnp.zeros((1, ch, cw), bool)
+            variables = jax.jit(
+                lambda r: self.model.init(r, image, mask, train=False)
+            )(jax.random.PRNGKey(self.seed))
         params = variables["params"]
         constants = variables.get("constants")
 
@@ -200,10 +213,13 @@ class BaseTrainer:
         max_norm = float(rc.get("max_norm", 0) or 0)
         self._train_step = jax.jit(
             make_train_step(self.model, self.criterion, self.tx,
-                            max_norm=max_norm, iter_per_update=ipu),
+                            max_norm=max_norm, iter_per_update=ipu,
+                            static=self.static_batch),
             out_shardings=(self.state_shardings, None), donate_argnums=(0,))
-        self._eval_step = jax.jit(make_eval_step(self.model, self.criterion))
-        self._inference_step = jax.jit(make_inference_step(self.model))
+        self._eval_step = jax.jit(make_eval_step(self.model, self.criterion,
+                                                 static=self.static_batch))
+        self._inference_step = jax.jit(
+            make_inference_step(self.model, static=self.static_batch))
         self._rng = jax.random.PRNGKey(self.seed + 7)
 
         n_params = sum(int(np.prod(l.shape))

@@ -27,6 +27,8 @@ def train_epoch(trainer):
         if trainer.current_update >= trainer.max_update:
             break
         meta = batch.pop("meta", None)
+        batch.pop("grid_shape", None)
+        batch.pop("batch_size", None)
         device_batch = {k: v for k, v in batch.items()}
         trainer.state, stats = trainer._train_step(
             trainer.state, device_batch, trainer.next_rng())
@@ -93,6 +95,8 @@ def evaluate(split: str, trainer):
     n_batches = 0
     for batch in loader:
         meta = batch.pop("meta", None)
+        batch.pop("grid_shape", None)
+        batch.pop("batch_size", None)
         squeezed = _squeeze_microbatch(batch)
         if is_test:
             out = trainer._inference_step(trainer.state, squeezed)
