@@ -188,61 +188,83 @@ class InstanceAttention(nn.Module):
             dtype=self.dtype, name="linear_attn")
 
     def _where_to_attend(self, query, v_valid_ratios, ref_windows):
-        b, l = ref_windows.shape[:2]
-        offset = self.linear_box(query).reshape(
-            b, l, self.num_head, self.num_level, 4
-        ).astype(jnp.float32)
+        """Query-minor grid (gx, gy) each (B, H, L, k*k, LQ); same math as
+        BoxAttention._where_to_attend with the k×k kernel."""
+        b, lq = query.shape[:2]
+        nh, nl = self.num_head, self.num_level
 
-        if ref_windows.ndim == 3:
-            ref = ref_windows[:, :, None, None]
-        else:
-            ref = ref_windows[:, :, :, None]
+        offset = self.linear_box(query)
+        off = jnp.moveaxis(offset, 1, -1).astype(jnp.float32)
+        off = off.reshape(b, nh, nl, 4, lq)
+        dx, dy, dw, dh = off[:, :, :, 0], off[:, :, :, 1], \
+            off[:, :, :, 2], off[:, :, :, 3]
 
-        ref_wh = jnp.concatenate([ref[..., 2:4], ref[..., 2:4]], axis=-1)
-        boxes = ref + offset / 8.0 * ref_wh
-        center = boxes[..., None, :2]
-        size = boxes[..., None, 2:]
+        rcx, rcy, rw, rh = _qminor_ref_parts(ref_windows, nh, nl)
+        cx = rcx + dx / 8.0 * rw
+        cy = rcy + dy / 8.0 * rh
+        sw = nn.relu(rw + dw / 8.0 * rw)
+        sh = nn.relu(rh + dh / 8.0 * rh)
 
         kernel = make_kernel_indices(self.kernel_size)
-        grid = center + kernel * nn.relu(size)
+        kx = kernel[:, 0][None, None, None, :, None]
+        ky = kernel[:, 1][None, None, None, :, None]
+        gx = cx[:, :, :, None, :] + kx * sw[:, :, :, None, :]
+        gy = cy[:, :, :, None, :] + ky * sh[:, :, :, None, :]
         if v_valid_ratios is not None:
-            grid = grid * v_valid_ratios[:, None, None, :, None, :]
-        return grid
+            gx = gx * v_valid_ratios[:, None, :, None, None, 0]
+            gy = gy * v_valid_ratios[:, None, :, None, None, 1]
+        return gx, gy
+
+    def _expand_quadrant_weights(self, w):
+        """(B, H, L, 2, 2, LQ) -> (B, H, L, k*k, LQ) repeat-interleaved to
+        the k×k tap grid (reference `box_attention.py:94-101`), query-minor."""
+        k = self.kernel_size
+        w = jnp.repeat(w, k // 2, axis=3)
+        w = jnp.repeat(w, k // 2, axis=4)
+        b, h, l = w.shape[:3]
+        return w.reshape(b, h, l, k * k, w.shape[-1])
 
     def __call__(self, query, value, v_shape: Shapes, v_mask, v_valid_ratios,
                  ref_windows, train: bool = True):
         b, l1 = query.shape[:2]
         l2 = value.shape[1]
         k = self.kernel_size
+        nh, nl = self.num_head, self.num_level
 
         value = self.value_proj(value)
         if v_mask is not None:
             value = jnp.where(v_mask[..., None], 0.0, value)
-        value = value.reshape(b, l2, self.num_head, self.head_dim)
+        value = value.reshape(b, l2, nh, self.head_dim)
 
-        # (B, L1, H, nlevel, 2, 2) -> repeat-interleave to (.., k, k)
-        attn = self.linear_attn(query).reshape(
-            b, l1, self.num_head, self.num_level, 2, 2
-        ).astype(jnp.float32)
-        attn = jnp.repeat(attn, k // 2, axis=-1)
-        attn = jnp.repeat(attn, k // 2, axis=-2)  # (B,L1,H,L,k,k)
+        # compact (L, 2, 2) quadrant logits, query-minor
+        attn = self.linear_attn(query)                     # (B, LQ, H*L*4)
+        attn = jnp.moveaxis(attn, 1, -1).astype(jnp.float32)
+        attn = attn.reshape(b, nh, nl, 2, 2, l1)
 
-        spatial = nn.softmax(
-            attn.reshape(b, l1, self.num_head, -1), axis=-1
-        ).reshape(b, l1, self.num_head, self.num_level, k * k)
+        # spatial softmax over the EXPANDED (L*k*k) taps: each quadrant value
+        # appears (k/2)^2 times, so the expanded softmax equals
+        # exp(w) / ((k/2)^2 * sum exp(w)) over the compact grid.
+        mult = (k // 2) ** 2
+        flat = attn.reshape(b, nh, nl * 4, l1)
+        m = flat.max(axis=2, keepdims=True)
+        e = jnp.exp(flat - m)
+        denom = e.sum(axis=2, keepdims=True) * mult
+        spatial_c = (e / denom).reshape(b, nh, nl, 2, 2, l1)
+        spatial = self._expand_quadrant_weights(spatial_c)
 
-        grid = self._where_to_attend(query, v_valid_ratios, ref_windows)
+        gx, gy = self._where_to_attend(query, v_valid_ratios, ref_windows)
 
         if train:
-            level = nn.softmax(attn, axis=3).reshape(
-                b, l1, self.num_head, self.num_level, k * k
-            )
-            out, mask_out = instance_attention(
-                value, v_shape, grid, spatial, level, kernel_size=k
-            )
+            # level softmax over L per quadrant (multiplicity cancels)
+            level_c = nn.softmax(attn, axis=2)
+            level = self._expand_quadrant_weights(level_c)
+            from boxer_tpu.ops.box_attention import instance_attention_qminor
+
+            out, mask_out = instance_attention_qminor(
+                value, v_shape, gx, gy, spatial, level, kernel_size=k)
             return self.out_proj(out), self.out_proj(mask_out), (spatial, level)
 
-        out = box_attention_dispatch(value, v_shape, grid, spatial)
+        out = box_attention_qminor(value, v_shape, gx, gy, spatial)
         return self.out_proj(out), None, (spatial,)
 
 

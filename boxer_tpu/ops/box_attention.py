@@ -152,42 +152,50 @@ def box_attention_qminor(value, shapes: Shapes, gx, gy, attn_weight):
     aw = attn_weight.reshape(bh, nl, npt, lq).astype(jnp.float32)
     bh_idx = jnp.arange(bh, dtype=jnp.int32)[:, None]
 
-    idx_parts = []
-    wgt_parts = []   # per part: (4, BH, LQ) corner weights (attn folded in)
+    idx_parts = []   # per level: (BH, P, LQ)
+    wgt_parts = []   # per level: (4, BH, P, LQ) corner weights (attn folded)
     for li, (hl, wl) in enumerate(shapes):
         stride = (hl + 1) * (wl + 1)
-        base = bases[li] + bh_idx * stride
-        for p in range(npt):
-            x = gx[:, li, p] * wl - 0.5          # (BH, LQ)
-            y = gy[:, li, p] * hl - 0.5
-            x0 = jnp.floor(x)
-            y0 = jnp.floor(y)
-            lx = x - x0
-            ly = y - y0
-            x0i = x0.astype(jnp.int32)
-            y0i = y0.astype(jnp.int32)
-            # whole-tap validity; the zero border makes edge taps exact
-            valid = ((x0i >= -1) & (x0i <= wl - 1)
-                     & (y0i >= -1) & (y0i <= hl - 1))
-            xq = jnp.clip(x0i + 1, 0, wl)
-            yq = jnp.clip(y0i + 1, 0, hl)
-            idx_parts.append(base + yq * (wl + 1) + xq)
-            w_tap = jnp.where(valid, aw[:, li, p], 0.0)
-            wgt_parts.append(jnp.stack([
-                (1.0 - lx) * (1.0 - ly) * w_tap,
-                lx * (1.0 - ly) * w_tap,
-                (1.0 - lx) * ly * w_tap,
-                lx * ly * w_tap,
-            ]))
+        base = bases[li] + bh_idx[:, None] * stride   # (BH, 1, 1)
+        x = gx[:, li] * wl - 0.5                      # (BH, P, LQ)
+        y = gy[:, li] * hl - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        lx = x - x0
+        ly = y - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        # whole-tap validity; the zero border makes edge taps exact
+        valid = ((x0i >= -1) & (x0i <= wl - 1)
+                 & (y0i >= -1) & (y0i <= hl - 1))
+        xq = jnp.clip(x0i + 1, 0, wl)
+        yq = jnp.clip(y0i + 1, 0, hl)
+        idx_parts.append(base + yq * (wl + 1) + xq)
+        w_tap = jnp.where(valid, aw[:, li], 0.0)
+        wgt_parts.append(jnp.stack([
+            (1.0 - lx) * (1.0 - ly) * w_tap,
+            lx * (1.0 - ly) * w_tap,
+            (1.0 - lx) * ly * w_tap,
+            lx * ly * w_tap,
+        ]))
 
-    k = len(idx_parts)                           # nl * npt
-    idx = jnp.stack(idx_parts)                   # (K, BH, LQ)
-    wgt = jnp.stack(wgt_parts)                   # (K, 4, BH, LQ)
+    idx = jnp.concatenate([i[None] for i in idx_parts])   # (L, BH, P, LQ)
+    wgt = jnp.concatenate([w[:, None] for w in wgt_parts],
+                          axis=1)                          # (4, L, BH, P, LQ)
+    n = nl * bh * npt * lq
 
-    vals = jnp.take(table, idx.reshape(-1), axis=0)
-    vals = vals.reshape(k, bh, lq, 4, ch)
-    wgt = wgt.transpose(0, 2, 3, 1)              # (K, BH, LQ, 4)
-    out = (vals.astype(jnp.float32) * wgt[..., None]).sum(axis=(0, 3))
+    vals = jnp.take(table, idx.reshape(-1), axis=0)        # (N, 4*Ch)
+    # CRITICAL layout note: the corner reduction must consume `vals` in its
+    # native (N, 4*Ch) layout via lane slices — a reshape to (..., 4, Ch)
+    # would force a tiled output layout the vectorized gather emitter can't
+    # produce, silently demoting the gather to a ~6x slower serial while-loop.
+    w_flat = wgt.reshape(4, n, 1)
+    out = (vals[:, 0 * ch:1 * ch].astype(jnp.float32) * w_flat[0]
+           + vals[:, 1 * ch:2 * ch].astype(jnp.float32) * w_flat[1]
+           + vals[:, 2 * ch:3 * ch].astype(jnp.float32) * w_flat[2]
+           + vals[:, 3 * ch:4 * ch].astype(jnp.float32) * w_flat[3])
+    # tap reduction over (level, point)
+    out = out.reshape(nl, bh, npt, lq, ch).sum(axis=(0, 2))
 
     out = out.reshape(b, nh, lq, ch).transpose(0, 2, 1, 3).reshape(b, lq, nh * ch)
     return out.astype(value.dtype)
@@ -212,9 +220,91 @@ def box_attention(value, shapes: Shapes, sampling_loc, attn_weight):
     return box_attention_qminor(value, shapes, gx, gy, aw)
 
 
+def _sample_taps_qminor(value, shapes: Shapes, gx, gy):
+    """Corner-reduced bilinear tap samples, query-minor.
+
+    gx, gy: (B, H, L, P, LQ) -> (L, BH, P, LQ, Ch) fp32 samples. Shares the
+    quad-table design of box_attention_qminor (one vectorized fetch per tap,
+    lane-slice corner reduction in the gather's native (N, 4*Ch) layout).
+    """
+    b, s, nh, ch = value.shape
+    _, _, nl, npt, lq = gx.shape
+    bh = b * nh
+
+    table, bases = _build_quad_tables(value, shapes)
+    gx = gx.reshape(bh, nl, npt, lq).astype(jnp.float32)
+    gy = gy.reshape(bh, nl, npt, lq).astype(jnp.float32)
+    bh_idx = jnp.arange(bh, dtype=jnp.int32)[:, None]
+
+    idx_parts, wgt_parts = [], []
+    for li, (hl, wl) in enumerate(shapes):
+        stride = (hl + 1) * (wl + 1)
+        base = bases[li] + bh_idx[:, None] * stride
+        x = gx[:, li] * wl - 0.5
+        y = gy[:, li] * hl - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        lx = x - x0
+        ly = y - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        valid = ((x0i >= -1) & (x0i <= wl - 1)
+                 & (y0i >= -1) & (y0i <= hl - 1)).astype(jnp.float32)
+        xq = jnp.clip(x0i + 1, 0, wl)
+        yq = jnp.clip(y0i + 1, 0, hl)
+        idx_parts.append(base + yq * (wl + 1) + xq)
+        wgt_parts.append(jnp.stack([
+            (1.0 - lx) * (1.0 - ly) * valid,
+            lx * (1.0 - ly) * valid,
+            (1.0 - lx) * ly * valid,
+            lx * ly * valid,
+        ]))
+
+    idx = jnp.concatenate([i[None] for i in idx_parts])
+    wgt = jnp.concatenate([w[:, None] for w in wgt_parts], axis=1)
+    n = nl * bh * npt * lq
+
+    vals = jnp.take(table, idx.reshape(-1), axis=0)
+    w_flat = wgt.reshape(4, n, 1)
+    out = (vals[:, 0 * ch:1 * ch].astype(jnp.float32) * w_flat[0]
+           + vals[:, 1 * ch:2 * ch].astype(jnp.float32) * w_flat[1]
+           + vals[:, 2 * ch:3 * ch].astype(jnp.float32) * w_flat[2]
+           + vals[:, 3 * ch:4 * ch].astype(jnp.float32) * w_flat[3])
+    return out.reshape(nl, bh, npt, lq, ch)
+
+
+def instance_attention_qminor(value, shapes: Shapes, gx, gy, spatial_weight,
+                              level_weight, kernel_size: int):
+    """Fused instance attention, query-minor fast path.
+
+    gx/gy/spatial_weight/level_weight: (B, H, L, P=k*k, LQ).
+    returns (out (B,LQ,H*Ch), mask_out (B,LQ,k,k,H*Ch)).
+    """
+    b, s, nh, ch = value.shape
+    _, _, nl, npt, lq = gx.shape
+    k = kernel_size
+    assert npt == k * k
+    bh = b * nh
+
+    taps = _sample_taps_qminor(value, shapes, gx, gy)   # (L, BH, P, LQ, Ch)
+    sw = spatial_weight.reshape(bh, nl, npt, lq).astype(jnp.float32)
+    lw = level_weight.reshape(bh, nl, npt, lq).astype(jnp.float32)
+    sw = sw.transpose(1, 0, 2, 3)[..., None]            # (L, BH, P, LQ, 1)
+    lw = lw.transpose(1, 0, 2, 3)[..., None]
+
+    out = (taps * sw).sum(axis=(0, 2))                  # (BH, LQ, Ch)
+    mask_out = (taps * lw).sum(axis=0)                  # (BH, P, LQ, Ch)
+
+    out = out.reshape(b, nh, lq, ch).transpose(0, 2, 1, 3).reshape(b, lq, nh * ch)
+    mask_out = mask_out.reshape(b, nh, k, k, lq, ch)
+    mask_out = mask_out.transpose(0, 4, 2, 3, 1, 5).reshape(b, lq, k, k, nh * ch)
+    return out.astype(value.dtype), mask_out.astype(value.dtype)
+
+
 def instance_attention(value, shapes: Shapes, sampling_loc, spatial_weight,
                        level_weight, kernel_size: int):
-    """Fused instance attention: attention output + per-tap mask RoI.
+    """Fused instance attention: attention output + per-tap mask RoI
+    (reference-contract wrapper over the query-minor fast path).
 
     Mirrors the reference dual-output kernel (`instance_attn_kernel.cuh:354-355`):
       out[b,q,h,:]      = sum_{l,p} spatial_w[b,q,h,l,p] * sample(l, p)
@@ -226,33 +316,12 @@ def instance_attention(value, shapes: Shapes, sampling_loc, spatial_weight,
     level_weight:   (B, Lq, H, L, P) — softmax over L
     returns (out (B,Lq,H*Ch), mask_out (B,Lq,k,k,H*Ch))
     """
-    b, s, nh, ch = value.shape
-    _, lq, _, nl, npt, _ = sampling_loc.shape
-    k = kernel_size
-    assert npt == k * k
-    starts = level_start_index(shapes)
-
-    out = jnp.zeros((b * nh, lq, ch), dtype=jnp.float32)
-    mask_out = jnp.zeros((b * nh, lq, npt, ch), dtype=jnp.float32)
-    for li, (hl, wl) in enumerate(shapes):
-        v_l = value[:, starts[li] : starts[li] + hl * wl]
-        v_l = v_l.transpose(0, 2, 1, 3).reshape(b * nh, hl, wl, ch)
-        loc_l = sampling_loc[:, :, :, li].transpose(0, 2, 1, 3, 4)
-        loc_l = loc_l.reshape(b * nh, lq * npt, 2)
-        sampled = _gather_level_samples(v_l, loc_l).reshape(b * nh, lq, npt, ch)
-
-        sw_l = spatial_weight[:, :, :, li].transpose(0, 2, 1, 3)
-        sw_l = sw_l.reshape(b * nh, lq, npt).astype(jnp.float32)
-        lw_l = level_weight[:, :, :, li].transpose(0, 2, 1, 3)
-        lw_l = lw_l.reshape(b * nh, lq, npt).astype(jnp.float32)
-
-        out = out + jnp.einsum("gqp,gqpc->gqc", sw_l, sampled)
-        mask_out = mask_out + lw_l[..., None] * sampled
-
-    out = out.reshape(b, nh, lq, ch).transpose(0, 2, 1, 3).reshape(b, lq, nh * ch)
-    mask_out = mask_out.reshape(b, nh, lq, k, k, ch)
-    mask_out = mask_out.transpose(0, 2, 3, 4, 1, 5).reshape(b, lq, k, k, nh * ch)
-    return out.astype(value.dtype), mask_out.astype(value.dtype)
+    gx = jnp.moveaxis(sampling_loc[..., 0], 1, -1)   # (B, H, L, P, LQ)
+    gy = jnp.moveaxis(sampling_loc[..., 1], 1, -1)
+    sw = jnp.moveaxis(spatial_weight, 1, -1)
+    lw = jnp.moveaxis(level_weight, 1, -1)
+    return instance_attention_qminor(value, shapes, gx, gy, sw, lw,
+                                     kernel_size)
 
 
 # ---------------------------------------------------------------------------

@@ -69,6 +69,7 @@ def make_train_step(
     iter_per_update: int = 1,
     compute_dtype=jnp.float32,
     static=None,
+    metrics=None,
 ) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, stats).
 
@@ -87,6 +88,14 @@ def make_train_step(
                           rngs={"dropout": rng}, static=static)
         losses = criterion(out, mb["targets"], num_boxes=num_boxes)
         total, stats = weighted_total(losses, weight_dict)
+        if metrics:
+            from boxer_tpu.criterion.metrics import compute_metrics
+
+            final = {k: v for k, v in out.items()
+                     if k not in ("aux_outputs", "enc_outputs")}
+            stats = dict(stats)
+            stats.update(compute_metrics(metrics, final, mb["targets"],
+                                         losses))
         return total, stats
 
     grad_fn = jax.value_and_grad(microbatch_loss, has_aux=True)

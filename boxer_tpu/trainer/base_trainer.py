@@ -210,11 +210,17 @@ class BaseTrainer:
             constants=c_sh, opt_state=o_sh)
         self.state = jax.device_put(state, self.state_shardings)
 
+        from boxer_tpu.criterion.metrics import build_metrics
+
+        metric_cfg = model_cfg.get("metric")
+        metrics = build_metrics(
+            metric_cfg.to_dict() if hasattr(metric_cfg, "to_dict")
+            else metric_cfg)
         max_norm = float(rc.get("max_norm", 0) or 0)
         self._train_step = jax.jit(
             make_train_step(self.model, self.criterion, self.tx,
                             max_norm=max_norm, iter_per_update=ipu,
-                            static=self.static_batch),
+                            static=self.static_batch, metrics=metrics),
             out_shardings=(self.state_shardings, None), donate_argnums=(0,))
         self._eval_step = jax.jit(make_eval_step(self.model, self.criterion,
                                                  static=self.static_batch))
