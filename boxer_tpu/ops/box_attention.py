@@ -152,8 +152,16 @@ def box_attention_qminor(value, shapes: Shapes, gx, gy, attn_weight):
     aw = attn_weight.reshape(bh, nl, npt, lq).astype(jnp.float32)
     bh_idx = jnp.arange(bh, dtype=jnp.int32)[:, None]
 
-    idx_parts = []   # per level: (BH, P, LQ)
-    wgt_parts = []   # per level: (4, BH, P, LQ) corner weights (attn folded)
+    # One take + fused corner-reduce + accumulate per (level, point) tap.
+    # CRITICAL layout/lowering notes (measured on v5e):
+    # - each take's consumer is lane slices of its native (N, 4*Ch) layout —
+    #   any reshape to (..., 4, Ch) or strided multi-axis reduce after the
+    #   gather demotes it to a ~6x slower serial while-loop;
+    # - per-tap accumulation keeps the whole chain elementwise, so XLA fuses
+    #   take -> corner mul -> add without materializing big intermediates;
+    # - no stacks/concats of index tensors (they lower to dynamic-update-
+    #   slice copies) and no (bh,lq)-major transposes (tile-crossing copies).
+    out = jnp.zeros((bh * lq, ch), jnp.float32)
     for li, (hl, wl) in enumerate(shapes):
         stride = (hl + 1) * (wl + 1)
         base = bases[li] + bh_idx[:, None] * stride   # (BH, 1, 1)
@@ -170,32 +178,21 @@ def box_attention_qminor(value, shapes: Shapes, gx, gy, attn_weight):
                  & (y0i >= -1) & (y0i <= hl - 1))
         xq = jnp.clip(x0i + 1, 0, wl)
         yq = jnp.clip(y0i + 1, 0, hl)
-        idx_parts.append(base + yq * (wl + 1) + xq)
+        idx = base + yq * (wl + 1) + xq
         w_tap = jnp.where(valid, aw[:, li], 0.0)
-        wgt_parts.append(jnp.stack([
-            (1.0 - lx) * (1.0 - ly) * w_tap,
-            lx * (1.0 - ly) * w_tap,
-            (1.0 - lx) * ly * w_tap,
-            lx * ly * w_tap,
-        ]))
 
-    idx = jnp.concatenate([i[None] for i in idx_parts])   # (L, BH, P, LQ)
-    wgt = jnp.concatenate([w[:, None] for w in wgt_parts],
-                          axis=1)                          # (4, L, BH, P, LQ)
-    n = nl * bh * npt * lq
-
-    vals = jnp.take(table, idx.reshape(-1), axis=0)        # (N, 4*Ch)
-    # CRITICAL layout note: the corner reduction must consume `vals` in its
-    # native (N, 4*Ch) layout via lane slices — a reshape to (..., 4, Ch)
-    # would force a tiled output layout the vectorized gather emitter can't
-    # produce, silently demoting the gather to a ~6x slower serial while-loop.
-    w_flat = wgt.reshape(4, n, 1)
-    out = (vals[:, 0 * ch:1 * ch].astype(jnp.float32) * w_flat[0]
-           + vals[:, 1 * ch:2 * ch].astype(jnp.float32) * w_flat[1]
-           + vals[:, 2 * ch:3 * ch].astype(jnp.float32) * w_flat[2]
-           + vals[:, 3 * ch:4 * ch].astype(jnp.float32) * w_flat[3])
-    # tap reduction over (level, point)
-    out = out.reshape(nl, bh, npt, lq, ch).sum(axis=(0, 2))
+        for p in range(npt):
+            vals = jnp.take(table, idx[:, p].reshape(-1), axis=0)
+            w00 = ((1.0 - lx[:, p]) * (1.0 - ly[:, p]) * w_tap[:, p]
+                   ).reshape(-1, 1)
+            w01 = (lx[:, p] * (1.0 - ly[:, p]) * w_tap[:, p]).reshape(-1, 1)
+            w10 = ((1.0 - lx[:, p]) * ly[:, p] * w_tap[:, p]).reshape(-1, 1)
+            w11 = (lx[:, p] * ly[:, p] * w_tap[:, p]).reshape(-1, 1)
+            out = (out
+                   + vals[:, 0 * ch:1 * ch].astype(jnp.float32) * w00
+                   + vals[:, 1 * ch:2 * ch].astype(jnp.float32) * w01
+                   + vals[:, 2 * ch:3 * ch].astype(jnp.float32) * w10
+                   + vals[:, 3 * ch:4 * ch].astype(jnp.float32) * w11)
 
     out = out.reshape(b, nh, lq, ch).transpose(0, 2, 1, 3).reshape(b, lq, nh * ch)
     return out.astype(value.dtype)
