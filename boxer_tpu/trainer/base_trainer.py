@@ -256,6 +256,7 @@ class BaseTrainer:
             self.save_dir, num_checkpoint=int(rc.get("num_checkpoint", 1)))
         self.checkpoint.save_config(self.config)
 
+        self._resume_skip_batches = 0
         if rc.get("resume") or rc.get("resume_file"):
             restored, extra = self.checkpoint.restore(self.state)
             if restored is not None:
@@ -263,8 +264,13 @@ class BaseTrainer:
                 self.current_update = int(self.state.step)
                 if extra:
                     self.current_epoch = int(extra.get("epoch", 0))
+                if "train" in self.loaders:
+                    # mid-epoch position (reference base_trainer.py:221-233)
+                    self._resume_skip_batches = (
+                        self.current_update % max(len(self.loaders["train"]), 1))
                 self.logger.info(
-                    f"Resumed from update {self.current_update}")
+                    f"Resumed from update {self.current_update} "
+                    f"(skipping {self._resume_skip_batches} batches)")
 
     # ------------------------------------------------------------------
     def train(self):

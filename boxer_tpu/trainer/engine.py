@@ -22,16 +22,33 @@ def train_epoch(trainer):
     t_window = time.perf_counter()
     updates_in_window = 0
     pending_stats = None
+    profile = trainer.logger.logger.isEnabledFor(10)  # DEBUG
+    phase_times = {}
 
-    for batch in loader:
+    # mid-epoch resume: skip already-consumed batches of this epoch
+    # (reference `base_trainer.py:221-233` + `engine.py:148-150`; exact
+    # replay works because the sampler is epoch-seeded)
+    skip = getattr(trainer, "_resume_skip_batches", 0)
+
+    for batch_idx, batch in enumerate(loader):
         if trainer.current_update >= trainer.max_update:
             break
+        if batch_idx < skip:
+            continue
+        t_prep = time.perf_counter()
         meta = batch.pop("meta", None)
         batch.pop("grid_shape", None)
         batch.pop("batch_size", None)
         device_batch = {k: v for k, v in batch.items()}
         trainer.state, stats = trainer._train_step(
             trainer.state, device_batch, trainer.next_rng())
+        if profile:
+            import jax as _jax
+
+            _jax.block_until_ready(stats["total_loss"])
+            phase_times["step"] = time.perf_counter() - t_prep
+            trainer.logger.debug(
+                f"Step time: {phase_times['step']*1e3:.1f} ms")
         pending_stats = stats
         trainer.current_update += 1
         updates_in_window += 1
@@ -57,6 +74,7 @@ def train_epoch(trainer):
 
         if trainer.current_update >= trainer.max_update:
             break
+    trainer._resume_skip_batches = 0
 
 
 def _update_info(trainer, stats, updates, window_s):

@@ -26,9 +26,10 @@ def points_in_convex_polygon_3d(points: np.ndarray,
     surface triangles. Returns (M, N) bool.
     Parity: `geometry.py points_in_convex_polygon_3d_jit`."""
     normals, d = surface_equ_3d(polygon_surfaces)
-    # sign(points . n + d) <= 0 for all surfaces -> inside
+    # with corner_to_surfaces_3d's winding the normals point INWARD, so
+    # inside <=> (points . n + d) >= 0 for every surface
     proj = np.einsum("mk,nsk->mns", points[:, :3], normals)
-    return (proj + d[None] <= 1e-8).all(axis=-1)
+    return (proj + d[None] >= -1e-8).all(axis=-1)
 
 
 def corner_to_surfaces_3d(corners: np.ndarray) -> np.ndarray:
