@@ -95,10 +95,17 @@ class Box3dDecoderLayer(nn.Module):
                  train: bool):
         drop = lambda x: nn.Dropout(self.dropout, deterministic=not train)(x)
         q = k = tgt if query_pos is None else tgt + query_pos
-        tgt2 = nn.MultiHeadDotProductAttention(
-            num_heads=self.nhead, dtype=self.dtype,
-            dropout_rate=self.dropout, deterministic=not train,
-            name="self_attn")(inputs_q=q, inputs_k=k, inputs_v=tgt)
+        if self.dropout == 0.0:
+            from boxer_tpu.nn.dense_attention import PallasMultiHeadAttention
+
+            tgt2 = PallasMultiHeadAttention(
+                num_heads=self.nhead, dtype=self.dtype, name="self_attn",
+            )(q, k, tgt)
+        else:
+            tgt2 = nn.MultiHeadDotProductAttention(
+                num_heads=self.nhead, dtype=self.dtype,
+                dropout_rate=self.dropout, deterministic=not train,
+                name="self_attn")(inputs_q=q, inputs_k=k, inputs_v=tgt)
         tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt + drop(tgt2))
 
         q2 = tgt if query_pos is None else tgt + query_pos

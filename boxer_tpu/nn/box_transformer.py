@@ -137,10 +137,18 @@ class DecoderLayer(nn.Module):
         drop = lambda x: nn.Dropout(self.dropout, deterministic=not train)(x)
 
         q = k = tgt if query_pos is None else tgt + query_pos
-        tgt2 = nn.MultiHeadDotProductAttention(
-            num_heads=self.nhead, dtype=self.dtype, name="self_attn",
-            dropout_rate=self.dropout, deterministic=not train,
-        )(inputs_q=q, inputs_k=k, inputs_v=tgt)
+        if self.dropout == 0.0:
+            # fused Pallas flash core (attention-prob dropout unused at 0)
+            from boxer_tpu.nn.dense_attention import PallasMultiHeadAttention
+
+            tgt2 = PallasMultiHeadAttention(
+                num_heads=self.nhead, dtype=self.dtype, name="self_attn",
+            )(q, k, tgt)
+        else:
+            tgt2 = nn.MultiHeadDotProductAttention(
+                num_heads=self.nhead, dtype=self.dtype, name="self_attn",
+                dropout_rate=self.dropout, deterministic=not train,
+            )(inputs_q=q, inputs_k=k, inputs_v=tgt)
         tgt = tgt + drop(tgt2)
         tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt)
 
@@ -192,6 +200,10 @@ class BoxTransformer(nn.Module):
     use_mask: bool = False
     ref_size: int = 4
     residual_mode: str = "v1"
+    # rematerialize encoder layers in backward: trades ~1 extra forward per
+    # layer for O(1) activation memory across the 20k-token encoder
+    # (jax.checkpoint; essential at batch 16 on a 16GB chip)
+    remat: bool = True
     dtype: Any = jnp.float32
 
     def _get_enc_proposals(self, enc_detector, enc_linear, enc_norm,
@@ -257,9 +269,10 @@ class BoxTransformer(nn.Module):
             [p.reshape(p.shape[0], -1, p.shape[-1]) for p in pos_list], axis=1
         )
 
-        # ---- encoder: nn.scan over one compiled layer ----
+        # ---- encoder: nn.scan over one compiled (optionally remat) layer ----
+        body = nn.remat(EncoderLayer) if self.remat else EncoderLayer
         ScannedEncoder = nn.scan(
-            EncoderLayer,
+            body,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             in_axes=nn.broadcast,

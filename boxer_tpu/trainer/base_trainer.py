@@ -111,6 +111,24 @@ class BaseTrainer:
         bs = int(self.running_config.get("batch_size", 16))
         ipu = int(self.running_config.get("iter_per_update", 1))
         workers = int(self.running_config.get("num_workers", 2))
+        # async H2D: the loader thread device_puts the next batch (dp-sharded)
+        # while the current step computes — the reference's side-stream
+        # Prefetcher (`dataset/helper/prefetcher.py:11-62`) in JAX terms
+        def device_put(batch):
+            import jax as _jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(self.mesh, P(None, "dp"))
+
+            def put(x):
+                try:
+                    return _jax.device_put(x, sh)
+                except ValueError:
+                    return _jax.device_put(
+                        x, NamedSharding(self.mesh, P()))
+
+            return _jax.tree_util.tree_map(put, batch)
+
         for split in splits:
             ds = build_dataset(task_name, dataset_cfg, split)
             if ds is None:
@@ -119,7 +137,7 @@ class BaseTrainer:
             self.loaders[split] = build_dataloader(
                 ds, split, batch_size=bs, num_workers=workers,
                 iter_per_update=ipu if split == "train" else 1,
-                seed=self.seed)
+                seed=self.seed, device_put=device_put)
         if "train" in self.datasets:
             self.num_classes = self.datasets["train"].get_answer_size()
         elif self.datasets:
