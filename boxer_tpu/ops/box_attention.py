@@ -128,7 +128,7 @@ def _build_quad_tables(value, shapes):
     return jnp.concatenate(tables, axis=0), bases
 
 
-def box_attention_qminor(value, shapes: Shapes, gx, gy, attn_weight):
+def _box_attention_qminor_impl(value, shapes: Shapes, gx, gy, attn_weight):
     """Multi-scale deformable box attention — quad-table fast path.
 
     TPU design (see _build_quad_tables): ONE flat vectorized gather fetches
@@ -343,3 +343,150 @@ def box_attention_dispatch(value, shapes, sampling_loc, attn_weight):
 
         return box_attention_pallas(value, shapes, sampling_loc, attn_weight)
     return box_attention(value, shapes, sampling_loc, attn_weight)
+
+
+# ---------------------------------------------------------------------------
+# Custom VJP (analytic backward, parity with `box_attn_kernel.cuh:136-184`)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=64)
+def _box_attention_vjp(shapes: Shapes):
+    """Shape-specialized custom-VJP wrapper around the quad-table forward.
+
+    Backward design (TPU):
+    - d_loc / d_weight: recompute the per-tap fetches (vectorized gathers are
+      cheap) and contract with the output grad — the analytic chain of the
+      reference kernel (`grad_sampling_loc`/`grad_attn_weight`,
+      `box_attn_kernel.cuh:177-183`);
+    - d_value: ONE scatter-add of per-tap 4-corner payload rows into the quad
+      table, then the (dense) transpose of the quad-table construction. The
+      scatter is XLA:TPU's serial path (~15 ns/row) — the known bottleneck,
+      see docs/TPU_PERFORMANCE.md.
+    - floor() uses the straight-through derivative (d frac/d x = 1), matching
+      grid_sample/CUDA semantics away from pixel-grid kinks.
+    """
+
+    @jax.custom_vjp
+    def f(value, gx, gy, attn_weight):
+        return _box_attention_qminor_impl(value, shapes, gx, gy, attn_weight)
+
+    def fwd(value, gx, gy, attn_weight):
+        return f(value, gx, gy, attn_weight), (value, gx, gy, attn_weight)
+
+    def bwd(res, g):
+        value, gx_in, gy_in, aw_in = res
+        b, s, nh, ch = value.shape
+        _, _, nl, npt, lq = gx_in.shape
+        bh = b * nh
+
+        table, bases = _build_quad_tables(value, shapes)
+        gx = gx_in.reshape(bh, nl, npt, lq).astype(jnp.float32)
+        gy = gy_in.reshape(bh, nl, npt, lq).astype(jnp.float32)
+        aw = aw_in.reshape(bh, nl, npt, lq).astype(jnp.float32)
+        bh_idx = jnp.arange(bh, dtype=jnp.int32)[:, None]
+
+        # output grad in (bh, lq) row order
+        gq = g.astype(jnp.float32).reshape(b, lq, nh, ch)
+        gq = gq.transpose(0, 2, 1, 3).reshape(bh * lq, ch)
+
+        d_gx = jnp.zeros((bh, nl, npt, lq), jnp.float32)
+        d_gy = jnp.zeros_like(d_gx)
+        d_aw = jnp.zeros_like(d_gx)
+        idx_parts, payload_parts = [], []
+
+        for li, (hl, wl) in enumerate(shapes):
+            stride = (hl + 1) * (wl + 1)
+            base = bases[li] + bh_idx[:, None] * stride
+            x = gx[:, li] * wl - 0.5
+            y = gy[:, li] * hl - 0.5
+            x0 = jnp.floor(x)
+            y0 = jnp.floor(y)
+            lx = x - x0
+            ly = y - y0
+            x0i = x0.astype(jnp.int32)
+            y0i = y0.astype(jnp.int32)
+            valid = ((x0i >= -1) & (x0i <= wl - 1)
+                     & (y0i >= -1) & (y0i <= hl - 1)).astype(jnp.float32)
+            xq = jnp.clip(x0i + 1, 0, wl)
+            yq = jnp.clip(y0i + 1, 0, hl)
+            idx = base + yq * (wl + 1) + xq          # (BH, P, LQ)
+            w_tap = valid * aw[:, li]
+
+            for p in range(npt):
+                idx_p = idx[:, p].reshape(-1)
+                vals = jnp.take(table, idx_p, axis=0).astype(jnp.float32)
+                # per-corner dot with the output grad: s_c (BH*LQ,)
+                s0 = (vals[:, 0 * ch:1 * ch] * gq).sum(-1)
+                s1 = (vals[:, 1 * ch:2 * ch] * gq).sum(-1)
+                s2 = (vals[:, 2 * ch:3 * ch] * gq).sum(-1)
+                s3 = (vals[:, 3 * ch:4 * ch] * gq).sum(-1)
+                s0 = s0.reshape(bh, lq)
+                s1 = s1.reshape(bh, lq)
+                s2 = s2.reshape(bh, lq)
+                s3 = s3.reshape(bh, lq)
+
+                lxp = lx[:, p]
+                lyp = ly[:, p]
+                bilin = ((1 - lxp) * (1 - lyp) * s0 + lxp * (1 - lyp) * s1
+                         + (1 - lxp) * lyp * s2 + lxp * lyp * s3)
+                d_aw = d_aw.at[:, li, p].set(valid[:, p] * bilin)
+
+                wtp = w_tap[:, p]
+                dlx = wtp * (-(1 - lyp) * s0 + (1 - lyp) * s1
+                             - lyp * s2 + lyp * s3)
+                dly = wtp * (-(1 - lxp) * s0 - lxp * s1
+                             + (1 - lxp) * s2 + lxp * s3)
+                d_gx = d_gx.at[:, li, p].set(dlx * wl)
+                d_gy = d_gy.at[:, li, p].set(dly * hl)
+
+                # payload for d_table: corner weights x g, (BH*LQ, 4*Ch)
+                w00 = ((1 - lxp) * (1 - lyp) * wtp).reshape(-1, 1)
+                w01 = (lxp * (1 - lyp) * wtp).reshape(-1, 1)
+                w10 = ((1 - lxp) * lyp * wtp).reshape(-1, 1)
+                w11 = (lxp * lyp * wtp).reshape(-1, 1)
+                payload_parts.append(jnp.concatenate(
+                    [w00 * gq, w01 * gq, w10 * gq, w11 * gq], axis=-1))
+                idx_parts.append(idx_p)
+
+        all_idx = jnp.concatenate(idx_parts)
+        all_payload = jnp.concatenate(payload_parts, axis=0)
+        d_table = jnp.zeros(table.shape, jnp.float32).at[all_idx].add(
+            all_payload)
+
+        # transpose of the quad-table construction -> d_value
+        d_levels = []
+        for li, (hl, wl) in enumerate(shapes):
+            stride = bh * (hl + 1) * (wl + 1)
+            dq = d_table[bases[li]:bases[li] + stride]
+            dq = dq.reshape(bh, hl + 1, wl + 1, 4 * ch)
+            d_pad = jnp.zeros((bh, hl + 2, wl + 2, ch), jnp.float32)
+            for c, (dy, dx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+                d_pad = d_pad.at[:, dy:dy + hl + 1, dx:dx + wl + 1].add(
+                    dq[..., c * ch:(c + 1) * ch])
+            d_levels.append(
+                d_pad[:, 1:hl + 1, 1:wl + 1].reshape(bh, hl * wl, ch))
+        d_v = jnp.concatenate(d_levels, axis=1)          # (BH, S, Ch)
+        d_value = d_v.reshape(b, nh, s, ch).transpose(0, 2, 1, 3)
+
+        return (d_value.astype(value.dtype),
+                d_gx.reshape(gx_in.shape).astype(gx_in.dtype),
+                d_gy.reshape(gy_in.shape).astype(gy_in.dtype),
+                d_aw.reshape(aw_in.shape).astype(aw_in.dtype))
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+# Backward selection: XLA AD measured FASTER than the hand-written analytic
+# VJP on v5e (58.5 ms vs 73 ms per encoder layer — the explicit scatter
+# payload assembly costs more than what AD emits), so AD is the default.
+# The analytic path is kept for numerics pinning/debugging.
+_USE_CUSTOM_VJP = False
+
+
+def box_attention_qminor(value, shapes: Shapes, gx, gy, attn_weight):
+    """Public entry: quad-table fast path (AD or analytic custom backward)."""
+    if _USE_CUSTOM_VJP:
+        return _box_attention_vjp(tuple(tuple(s) for s in shapes))(
+            value, gx, gy, attn_weight)
+    return _box_attention_qminor_impl(value, shapes, gx, gy, attn_weight)
