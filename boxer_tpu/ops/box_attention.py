@@ -21,10 +21,13 @@ reference test `tests/box_attn_test.py:33,70`).
 Design (TPU-first, not a CUDA translation):
 - The reference launches one CUDA thread per (b, q, head, channel) and walks
   levels×points with atomicAdd-based backward. On TPU the same math is a
-  per-level *batched gather* (4 bilinear corners per tap) followed by an
-  einsum contraction over taps — all fixed-shape, fused by XLA, and
-  differentiated automatically (scatter-add for grad_value). A fused Pallas
-  kernel for the forward hot path lives in `boxer_tpu/ops/pallas/`.
+  quad-table vectorized gather (ONE fetch per tap carrying all 4 bilinear
+  corners in a 128-lane row) with fused per-tap accumulation — all
+  fixed-shape, differentiated by XLA AD (scatter-add for grad_value) or the
+  analytic custom VJP below. This XLA formulation *is* the TPU-native kernel:
+  Mosaic/Pallas cannot express wide dynamic gathers (measured analysis in
+  docs/TPU_PERFORMANCE.md); Pallas is used where it wins — the dense
+  attention sites (`boxer_tpu/ops/pallas/flash_attention.py`).
 - Heads are folded into the batch dim so every level is one gather.
 - Accumulation is fp32 regardless of input dtype (parity with the reference's
   `custom_fwd(cast_inputs=float32)` pinning, `ops/box_attention_func.py:11`).
@@ -329,7 +332,10 @@ _BOX_ATTN_IMPL = {"default": "xla"}
 
 
 def set_box_attention_impl(name: str):
-    assert name in ("xla", "pallas")
+    """"xla" (default, the tuned quad-table formulation) — kept for surface
+    compatibility; the former "pallas" option was retired after measurement
+    showed Mosaic cannot express the wide dynamic gather (see docs)."""
+    assert name == "xla"
     _BOX_ATTN_IMPL["default"] = name
 
 
@@ -338,10 +344,7 @@ def get_box_attention_impl() -> str:
 
 
 def box_attention_dispatch(value, shapes, sampling_loc, attn_weight):
-    if _BOX_ATTN_IMPL["default"] == "pallas":
-        from boxer_tpu.ops.pallas.box_attn_kernel import box_attention_pallas
-
-        return box_attention_pallas(value, shapes, sampling_loc, attn_weight)
+    """Reference-layout entry point (modules use the qminor path directly)."""
     return box_attention(value, shapes, sampling_loc, attn_weight)
 
 
