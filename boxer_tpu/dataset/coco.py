@@ -251,10 +251,14 @@ class COCODetection:
 
     def format_for_evalai(self, output: Dict[str, np.ndarray],
                           metas: List[Dict], topk: int = 100,
+                          threshold: float = None,
                           return_rles: bool = False):
         """output: numpy {pred_logits (B,NQ,C), pred_boxes (B,NQ,4)
         [, pred_masks (B,NQ,s,s)]}; metas from collate. Returns
-        {image_id: {scores, labels, boxes(xyxy abs), [masks|rles]}}."""
+        {image_id: {scores, labels, boxes(xyxy abs), [masks|rles]}}.
+
+        threshold mode (reference `coco.py:209-261`): keep every
+        (query, class) above `threshold` instead of a fixed top-k."""
         logits = np.asarray(output["pred_logits"], np.float32)
         bboxes = np.asarray(output["pred_boxes"], np.float32)
         b, nq, c = logits.shape
@@ -263,8 +267,11 @@ class COCODetection:
 
         results = {}
         for i in range(b):
-            k = min(topk, flat.shape[1])
-            top_idx = np.argpartition(-flat[i], k - 1)[:k]
+            if threshold is not None:
+                top_idx = np.flatnonzero(flat[i] > threshold)
+            else:
+                k = min(topk, flat.shape[1])
+                top_idx = np.argpartition(-flat[i], k - 1)[:k]
             scores = flat[i][top_idx]
             q_idx = top_idx // c
             labels = top_idx % c

@@ -25,6 +25,10 @@ def train_epoch(trainer):
     profile = trainer.logger.logger.isEnabledFor(10)  # DEBUG
     phase_times = {}
 
+    # optional device trace: training.jax_profile = <dir> captures steps 5-8
+    profile_dir = trainer.running_config.get("jax_profile")
+    profiling = False
+
     # mid-epoch resume: skip already-consumed batches of this epoch
     # (reference `base_trainer.py:221-233` + `engine.py:148-150`; exact
     # replay works because the sampler is epoch-seeded)
@@ -40,8 +44,20 @@ def train_epoch(trainer):
         batch.pop("grid_shape", None)
         batch.pop("batch_size", None)
         device_batch = {k: v for k, v in batch.items()}
+        if profile_dir and trainer.current_update == 5 and not profiling:
+            import jax as _jax
+
+            _jax.profiler.start_trace(profile_dir)
+            profiling = True
         trainer.state, stats = trainer._train_step(
             trainer.state, device_batch, trainer.next_rng())
+        if profile_dir and trainer.current_update == 8 and profiling:
+            import jax as _jax
+
+            _jax.block_until_ready(stats["total_loss"])
+            _jax.profiler.stop_trace()
+            profiling = False
+            trainer.logger.info(f"Wrote device trace to {profile_dir}")
         if profile:
             import jax as _jax
 
