@@ -50,6 +50,47 @@ def read_lidar_points(path: str) -> np.ndarray:
     return np.concatenate([xyz, feat], axis=-1).astype(np.float32)
 
 
+def read_sweep(sweep: Dict) -> Tuple[np.ndarray, np.ndarray]:
+    """One prior sweep: load, apply ego-motion transform, return
+    (points (N, F), time_lag (N, 1)) — reference `det3d/general.py:142-163`."""
+    pts = read_lidar_points(sweep["path"])
+    tm = sweep.get("transform_matrix")
+    if tm is not None:
+        tm = np.asarray(tm, np.float32)
+        homo = np.concatenate(
+            [pts[:, :3], np.ones((len(pts), 1), np.float32)], axis=1)
+        pts = pts.copy()
+        pts[:, :3] = (homo @ tm.T)[:, :3]
+    times = np.full((len(pts), 1), float(sweep.get("time_lag", 0.0)),
+                    np.float32)
+    return pts, times
+
+
+def read_points_with_sweeps(info: Dict, root_path: str,
+                            nsweeps: int) -> np.ndarray:
+    """Concatenate the key frame with nsweeps-1 prior sweeps, appending a
+    time-lag feature column (reference `det3d/general.py:39-70`)."""
+    path = info["path"]
+    if not os.path.isabs(path):
+        path = os.path.join(root_path, path)
+    points = read_lidar_points(path)
+    if nsweeps <= 1:
+        return points
+    sweeps = info.get("sweeps", [])
+    pts_list = [points]
+    time_list = [np.zeros((len(points), 1), np.float32)]
+    for sweep in sweeps[: nsweeps - 1]:
+        sweep = dict(sweep)
+        if not os.path.isabs(sweep["path"]):
+            sweep["path"] = os.path.join(root_path, sweep["path"])
+        p, t = read_sweep(sweep)
+        pts_list.append(p)
+        time_list.append(t)
+    points = np.concatenate(pts_list, axis=0)
+    times = np.concatenate(time_list, axis=0)
+    return np.hstack([points, times])
+
+
 class WaymoPreparation:
     """Class + min-points filter (reference `waymo.py:316-330`)."""
 
@@ -126,10 +167,7 @@ class WaymoDetection:
 
     def load(self, idx: int, rng: np.random.RandomState):
         info = self.infos[idx]
-        path = info["path"]
-        if not os.path.isabs(path):
-            path = os.path.join(self.root_path, path)
-        points = read_lidar_points(path)
+        points = read_points_with_sweeps(info, self.root_path, self.nsweeps)
 
         target = {
             "metadata": {"token": info["token"]},

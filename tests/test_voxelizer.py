@@ -129,3 +129,36 @@ def test_3d_transform_roundtrip():
         [-75, -75, -3, 75, 75, 5], np.float32), "sigmoid")
     assert t3["boxes"].shape[1] == 7
     assert (t3["boxes"] >= 0).all() and (t3["boxes"] <= 1).all()
+
+
+def test_multi_sweep_reading(tmp_path):
+    """read_points_with_sweeps: ego-motion transform + time-lag column."""
+    import os
+
+    from boxer_tpu.dataset.waymo import read_points_with_sweeps
+
+    rng = np.random.RandomState(0)
+    key_pts = rng.rand(10, 5).astype(np.float32)
+    sweep_pts = rng.rand(6, 5).astype(np.float32)
+    np.savez(tmp_path / "key.npz", points=key_pts)
+    np.savez(tmp_path / "sweep.npz", points=sweep_pts)
+
+    # pure-translation transform
+    tm = np.eye(4, dtype=np.float32)
+    tm[:3, 3] = [1.0, -2.0, 0.5]
+    info = {
+        "path": str(tmp_path / "key.npz"),
+        "sweeps": [{"path": str(tmp_path / "sweep.npz"),
+                    "transform_matrix": tm, "time_lag": 0.1}],
+    }
+    out = read_points_with_sweeps(info, str(tmp_path), nsweeps=2)
+    assert out.shape == (16, 6)  # 5 features + time lag
+    np.testing.assert_allclose(out[:10, :5], key_pts, rtol=1e-6)
+    np.testing.assert_allclose(out[:10, 5], 0.0)
+    np.testing.assert_allclose(out[10:, :3],
+                               sweep_pts[:, :3] + tm[:3, 3], rtol=1e-5)
+    np.testing.assert_allclose(out[10:, 5], 0.1, rtol=1e-6)
+
+    # nsweeps=1 ignores sweeps and keeps raw features
+    out1 = read_points_with_sweeps(info, str(tmp_path), nsweeps=1)
+    assert out1.shape == (10, 5)
