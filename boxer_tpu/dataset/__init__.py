@@ -28,9 +28,10 @@ def build_dataset(task_name: str, dataset_config, dataset_type: str):
 
     task_cls = TASK_REGISTRY.get(task_name)
     root = os.environ.get("E2E_DATASETS", ".")
-    anno = imdb["anno_file"]
-    anno_path = anno if os.path.isabs(anno) else os.path.join(root, anno)
-    if not os.path.exists(anno_path):
+    index_file = imdb.get("anno_file") or imdb.get("info_path")
+    index_path = (index_file if os.path.isabs(index_file)
+                  else os.path.join(root, index_file))
+    if not os.path.exists(index_path):
         return None
     return task_cls(cfg, dataset_type, imdb)
 

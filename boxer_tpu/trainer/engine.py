@@ -109,13 +109,15 @@ def _update_info(trainer, stats, updates, window_s):
 
 
 def evaluate(split: str, trainer):
-    """val: streaming COCO eval; test: accumulate + dump results
-    (reference `engine.py:20-123`)."""
+    """val: streaming COCO eval (2D) or accumulated Waymo metrics (3D);
+    test: accumulate + dump results (reference `engine.py:20-123`)."""
     loader = trainer.loaders.get(split)
     if loader is None:
         return None
     dataset = trainer.datasets[split]
     is_test = split == "test"
+    if not hasattr(dataset, "coco"):
+        return _evaluate_3d(split, trainer, loader, dataset, is_test)
 
     from boxer_tpu.evaluate.coco_eval import CocoEvaluator
 
@@ -174,6 +176,35 @@ def evaluate(split: str, trainer):
             trainer.writer.add_scalars(
                 {f"{split}/{k}_AP": float(v[0])}, trainer.current_update)
     return stats
+
+
+def _evaluate_3d(split, trainer, loader, dataset, is_test):
+    """3D (Waymo) eval: accumulate predictions, dump results.pkl, and (val)
+    run the self-contained offline metrics."""
+    accumulated = {}
+    for batch in loader:
+        meta = batch.pop("meta", None)
+        batch.pop("grid_shape", None)
+        batch.pop("batch_size", None)
+        squeezed = _squeeze_microbatch(batch)
+        out = trainer._inference_step(trainer.state, squeezed)
+        out_np = jax.tree_util.tree_map(np.asarray, _strip_aux(out))
+        accumulated.update(dataset.format_for_evalai(out_np, meta))
+
+    path = dataset.prepare_for_evaluation(accumulated, trainer.save_dir)
+    trainer.logger.info(f"{split}: wrote {path}")
+    if is_test:
+        return path
+
+    from boxer_tpu.evaluate.waymo_eval import evaluate_results
+
+    metrics = evaluate_results(accumulated)
+    for k, v in sorted(metrics.items()):
+        trainer.logger.info(f"{split} {k}: {v:.4f}")
+        if trainer.writer is not None:
+            trainer.writer.add_scalars({f"{split}/{k}": v},
+                                       trainer.current_update)
+    return metrics
 
 
 def _squeeze_microbatch(batch):

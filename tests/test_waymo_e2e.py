@@ -198,3 +198,81 @@ def test_waymo_offline_eval_perfect_predictions(waymo_root):
     assert metrics, "no metrics computed"
     for k, v in metrics.items():
         assert v == pytest.approx(1.0, abs=1e-6), (k, v)
+
+
+def test_waymo_trainer_end_to_end(waymo_root, tmp_path):
+    """Full 3D trainer: config -> train 2 updates -> engine val eval (Waymo
+    metrics path) -> results.pkl written."""
+    import yaml
+
+    from boxer_tpu.trainer import build_trainer
+    from boxer_tpu.utils.config import Configuration
+
+    save = str(tmp_path / "save3d")
+    proc = {"type": "compose", "params": {"preprocessors": [
+        {"type": "filter_by_range", "params": {"pc_range": PC_RANGE}},
+        {"type": "voxelize", "params": {
+            "voxel_size": VOXEL_SIZE, "pc_range": PC_RANGE,
+            "max_points_per_voxel": 8, "max_voxel_num": 512}},
+        {"type": "normalize3d", "params": {
+            "pc_range": PC_RANGE, "normalize_angle": "sigmoid"}},
+    ]}}
+    cfg = {
+        "training": {"batch_size": 2, "max_update": 2,
+                     "checkpoint_interval": 10000,
+                     "evaluation_interval": 100000, "log_interval": 1,
+                     "run_type": "train_val", "save_dir": save, "seed": 1,
+                     "num_workers": 1, "mixed_precision": "none",
+                     "max_norm": 1.0},
+        "dataset_config": {"detection3d": {
+            "nsweeps": 1, "normalize_angle": "sigmoid", "max_boxes": 10,
+            "pc_range": PC_RANGE, "voxel_size": VOXEL_SIZE, "min_points": 0,
+            "classes": ["VEHICLE", "PEDESTRIAN"],
+            "imdb_files": {
+                "train": {"root_path": str(waymo_root / "lidars"),
+                          "info_path": str(waymo_root / "infos.pkl"),
+                          "load_interval": 1},
+                "val": {"root_path": str(waymo_root / "lidars"),
+                        "info_path": str(waymo_root / "infos.pkl"),
+                        "load_interval": 1}},
+            "processors": {"train_processor": proc,
+                           "test_processor": proc}}},
+        "model_config": {"boxer3d": {
+            "type": "boxer3d", "hidden_dim": 32, "aux_loss": True,
+            "deform_lr_multi": 0.1, "ref_size": 4,
+            "loss": {"type": "boxer3d", "params": {
+                "bbox_loss_coef": 5, "giou_loss_coef": 2,
+                "class_loss_coef": 2, "rad_loss_coef": 4,
+                "matcher": {"type": "hungarian3d", "params": {
+                    "class_weight": 2, "bbox_weight": 5, "giou_weight": 2,
+                    "rad_weight": 4}}}},
+            "backbone": {"type": "pointpillar", "params": {
+                "hidden_dim": 32, "position_encoding": "fixed",
+                "ref_size": 4, "return_layers": 2,
+                "reader": {"num_input_features": 5, "num_filters": [16, 32],
+                           "voxel_size": VOXEL_SIZE, "pc_range": PC_RANGE},
+                "extractor": {"num_input_features": 32},
+                "neck": {"num_input_features": 32, "num_layers": [1, 1, 1],
+                         "ds_strides": [1, 2, 2],
+                         "ds_filters": [32, 64, 64]}}},
+            "transformer": {"type": "box3d_transformer", "params": {
+                "hidden_dim": 32, "nhead": 8, "nlevel": 2, "enc_layers": 1,
+                "dec_layers": 1, "dim_feedforward": 64, "dropout": 0,
+                "num_queries": 16, "ref_size": 4}}}},
+        "optimizer": {"type": "adamw", "params": {
+            "lr": 1.0e-4, "lr_backbone": 1.0e-4, "weight_decay": 1.0e-4}},
+        "scheduler": {"type": "cosine_annealing", "params": {
+            "T_max": 100, "eta_min": 1.0e-6, "use_warmup": False}},
+        "distributed": {"dp": None, "mp": 1, "zero1": True},
+        "task": "detection3d", "model": "boxer3d",
+    }
+    cfg_path = tmp_path / "cfg3d.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    trainer = build_trainer(Configuration(config_path=str(cfg_path)))
+    trainer.load()
+    assert trainer.num_classes == 5
+    trainer.train()
+    assert trainer.current_update == 2
+    assert os.path.exists(os.path.join(save, "results.pkl"))
