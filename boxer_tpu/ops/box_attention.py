@@ -114,9 +114,11 @@ def _build_quad_tables(value, shapes):
     starts = level_start_index(shapes)
     v = value.transpose(0, 2, 1, 3).reshape(bh, s, ch)
 
+    # NOTE: tables stay SEPARATE per level — XLA:TPU vectorized-gather cost
+    # grows with table row count (~0.36 ms/161k fetches at <=64k rows but
+    # 1.09 ms at 680k rows, measured), so each take should index the smallest
+    # possible table.
     tables = []
-    bases = []
-    row_acc = 0
     for li, (hl, wl) in enumerate(shapes):
         lvl = v[:, starts[li]:starts[li] + hl * wl].reshape(bh, hl, wl, ch)
         # zero border: pad to (hl+2, wl+2), quads indexed over (hl+1, wl+1)
@@ -126,9 +128,7 @@ def _build_quad_tables(value, shapes):
             lvl[:, 1:, :-1], lvl[:, 1:, 1:],
         ], axis=-1)  # (BH, hl+1, wl+1, 4*Ch)
         tables.append(q.reshape(bh * (hl + 1) * (wl + 1), 4 * ch))
-        bases.append(row_acc)
-        row_acc += bh * (hl + 1) * (wl + 1)
-    return jnp.concatenate(tables, axis=0), bases
+    return tables
 
 
 def _box_attention_qminor_impl(value, shapes: Shapes, gx, gy, attn_weight):
@@ -149,7 +149,7 @@ def _box_attention_qminor_impl(value, shapes: Shapes, gx, gy, attn_weight):
     assert nl == len(shapes)
     bh = b * nh
 
-    table, bases = _build_quad_tables(value, shapes)
+    tables = _build_quad_tables(value, shapes)
     gx = gx.reshape(bh, nl, npt, lq).astype(jnp.float32)
     gy = gy.reshape(bh, nl, npt, lq).astype(jnp.float32)
     aw = attn_weight.reshape(bh, nl, npt, lq).astype(jnp.float32)
@@ -167,7 +167,8 @@ def _box_attention_qminor_impl(value, shapes: Shapes, gx, gy, attn_weight):
     out = jnp.zeros((bh * lq, ch), jnp.float32)
     for li, (hl, wl) in enumerate(shapes):
         stride = (hl + 1) * (wl + 1)
-        base = bases[li] + bh_idx[:, None] * stride   # (BH, 1, 1)
+        base = bh_idx[:, None] * stride               # (BH, 1, 1)
+        table = tables[li]
         x = gx[:, li] * wl - 0.5                      # (BH, P, LQ)
         y = gy[:, li] * hl - 0.5
         x0 = jnp.floor(x)
@@ -231,15 +232,15 @@ def _sample_taps_qminor(value, shapes: Shapes, gx, gy):
     _, _, nl, npt, lq = gx.shape
     bh = b * nh
 
-    table, bases = _build_quad_tables(value, shapes)
+    tables = _build_quad_tables(value, shapes)
     gx = gx.reshape(bh, nl, npt, lq).astype(jnp.float32)
     gy = gy.reshape(bh, nl, npt, lq).astype(jnp.float32)
     bh_idx = jnp.arange(bh, dtype=jnp.int32)[:, None]
 
-    idx_parts, wgt_parts = [], []
+    level_taps = []
     for li, (hl, wl) in enumerate(shapes):
         stride = (hl + 1) * (wl + 1)
-        base = bases[li] + bh_idx[:, None] * stride
+        base = bh_idx[:, None] * stride
         x = gx[:, li] * wl - 0.5
         y = gy[:, li] * hl - 0.5
         x0 = jnp.floor(x)
@@ -252,25 +253,19 @@ def _sample_taps_qminor(value, shapes: Shapes, gx, gy):
                  & (y0i >= -1) & (y0i <= hl - 1)).astype(jnp.float32)
         xq = jnp.clip(x0i + 1, 0, wl)
         yq = jnp.clip(y0i + 1, 0, hl)
-        idx_parts.append(base + yq * (wl + 1) + xq)
-        wgt_parts.append(jnp.stack([
-            (1.0 - lx) * (1.0 - ly) * valid,
-            lx * (1.0 - ly) * valid,
-            (1.0 - lx) * ly * valid,
-            lx * ly * valid,
-        ]))
+        idx = (base + yq * (wl + 1) + xq).reshape(-1)
+        w00 = ((1.0 - lx) * (1.0 - ly) * valid).reshape(-1, 1)
+        w01 = (lx * (1.0 - ly) * valid).reshape(-1, 1)
+        w10 = ((1.0 - lx) * ly * valid).reshape(-1, 1)
+        w11 = (lx * ly * valid).reshape(-1, 1)
 
-    idx = jnp.concatenate([i[None] for i in idx_parts])
-    wgt = jnp.concatenate([w[:, None] for w in wgt_parts], axis=1)
-    n = nl * bh * npt * lq
-
-    vals = jnp.take(table, idx.reshape(-1), axis=0)
-    w_flat = wgt.reshape(4, n, 1)
-    out = (vals[:, 0 * ch:1 * ch].astype(jnp.float32) * w_flat[0]
-           + vals[:, 1 * ch:2 * ch].astype(jnp.float32) * w_flat[1]
-           + vals[:, 2 * ch:3 * ch].astype(jnp.float32) * w_flat[2]
-           + vals[:, 3 * ch:4 * ch].astype(jnp.float32) * w_flat[3])
-    return out.reshape(nl, bh, npt, lq, ch)
+        vals = jnp.take(tables[li], idx, axis=0)
+        taps = (vals[:, 0 * ch:1 * ch].astype(jnp.float32) * w00
+                + vals[:, 1 * ch:2 * ch].astype(jnp.float32) * w01
+                + vals[:, 2 * ch:3 * ch].astype(jnp.float32) * w10
+                + vals[:, 3 * ch:4 * ch].astype(jnp.float32) * w11)
+        level_taps.append(taps.reshape(1, bh, npt, lq, ch))
+    return jnp.concatenate(level_taps, axis=0)
 
 
 def instance_attention_qminor(value, shapes: Shapes, gx, gy, spatial_weight,
@@ -382,7 +377,7 @@ def _box_attention_vjp(shapes: Shapes):
         _, _, nl, npt, lq = gx_in.shape
         bh = b * nh
 
-        table, bases = _build_quad_tables(value, shapes)
+        tables = _build_quad_tables(value, shapes)
         gx = gx_in.reshape(bh, nl, npt, lq).astype(jnp.float32)
         gy = gy_in.reshape(bh, nl, npt, lq).astype(jnp.float32)
         aw = aw_in.reshape(bh, nl, npt, lq).astype(jnp.float32)
@@ -395,11 +390,12 @@ def _box_attention_vjp(shapes: Shapes):
         d_gx = jnp.zeros((bh, nl, npt, lq), jnp.float32)
         d_gy = jnp.zeros_like(d_gx)
         d_aw = jnp.zeros_like(d_gx)
-        idx_parts, payload_parts = [], []
+        per_level = {li: ([], []) for li in range(nl)}  # idx, payload
 
         for li, (hl, wl) in enumerate(shapes):
             stride = (hl + 1) * (wl + 1)
-            base = bases[li] + bh_idx[:, None] * stride
+            base = bh_idx[:, None] * stride
+            table = tables[li]
             x = gx[:, li] * wl - 0.5
             y = gy[:, li] * hl - 0.5
             x0 = jnp.floor(x)
@@ -447,21 +443,18 @@ def _box_attention_vjp(shapes: Shapes):
                 w01 = (lxp * (1 - lyp) * wtp).reshape(-1, 1)
                 w10 = ((1 - lxp) * lyp * wtp).reshape(-1, 1)
                 w11 = (lxp * lyp * wtp).reshape(-1, 1)
-                payload_parts.append(jnp.concatenate(
+                per_level[li][1].append(jnp.concatenate(
                     [w00 * gq, w01 * gq, w10 * gq, w11 * gq], axis=-1))
-                idx_parts.append(idx_p)
+                per_level[li][0].append(idx_p)
 
-        all_idx = jnp.concatenate(idx_parts)
-        all_payload = jnp.concatenate(payload_parts, axis=0)
-        d_table = jnp.zeros(table.shape, jnp.float32).at[all_idx].add(
-            all_payload)
-
-        # transpose of the quad-table construction -> d_value
+        # transpose of the quad-table construction -> d_value (per level)
         d_levels = []
         for li, (hl, wl) in enumerate(shapes):
-            stride = bh * (hl + 1) * (wl + 1)
-            dq = d_table[bases[li]:bases[li] + stride]
-            dq = dq.reshape(bh, hl + 1, wl + 1, 4 * ch)
+            idx_l = jnp.concatenate(per_level[li][0])
+            payload_l = jnp.concatenate(per_level[li][1], axis=0)
+            d_table = jnp.zeros(tables[li].shape, jnp.float32).at[idx_l].add(
+                payload_l)
+            dq = d_table.reshape(bh, hl + 1, wl + 1, 4 * ch)
             d_pad = jnp.zeros((bh, hl + 2, wl + 2, ch), jnp.float32)
             for c, (dy, dx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
                 d_pad = d_pad.at[:, dy:dy + hl + 1, dx:dx + wl + 1].add(
