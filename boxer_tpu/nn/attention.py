@@ -22,6 +22,7 @@ import math
 from typing import Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from boxer_tpu.ops import box_attention_dispatch, instance_attention
@@ -67,6 +68,55 @@ def _uniform_bias_init(key, shape, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, 0.0, 1.0)
 
 
+class HeadMergeDense(nn.Module):
+    """Output projection that consumes the sampling op's raw (B, H, LQ, C)
+    layout directly.
+
+    Equivalent to `nn.Dense(features)` on the head-merged (B, LQ, H*C)
+    tensor (identical param shapes/names, so torch weight porting is
+    unchanged), but computed as a per-head batched matmul + head-sum. This
+    keeps the op's gather consumers row-major: the explicit head-merge
+    transpose otherwise makes XLA propagate a column-major layout upstream
+    and insert a {1,0}->{0,1} copy of every gather output (measured
+    8.6 ms/model in the BoxeR-2D decoder, 4.8 ms in the encoder).
+    """
+
+    in_features: int
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.xavier_uniform(),
+            (self.in_features, self.features))
+        self.bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,))
+
+    def __call__(self, x):
+        """Standard dense over the last axis (head-merged inputs)."""
+        y = x @ self.kernel.astype(self.dtype)
+        return y + self.bias.astype(self.dtype)
+
+    def raw(self, x):
+        """x: (B, H, LQ, C) -> (B, LQ, features), no head-merge transpose."""
+        b, nh, lq, ch = x.shape
+        k = self.kernel.astype(self.dtype).reshape(nh, ch, self.features)
+        x = x.astype(self.dtype)
+        # batched per-head matmul (batch dim h, contract c) then head-sum;
+        # for b == 1 the (h, q, c) view is a free reshape of the raw rows
+        if b == 1:
+            lhs = x.reshape(nh, lq, ch)
+            y = jax.lax.dot_general(
+                lhs, k, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)       # (H, LQ, F)
+            y = jnp.sum(y, axis=0)[None].astype(self.dtype)
+        else:
+            y = jnp.einsum("bhqc,hcf->bqf", x, k,
+                           preferred_element_type=jnp.float32
+                           ).astype(self.dtype)
+        return y + self.bias.astype(self.dtype)
+
+
 class BoxAttention(nn.Module):
     """Multi-scale box attention (k=2 → 4 taps/level)."""
 
@@ -84,9 +134,8 @@ class BoxAttention(nn.Module):
         self.value_proj = nn.Dense(
             self.d_model, kernel_init=nn.initializers.xavier_uniform(),
             bias_init=nn.initializers.zeros, dtype=self.dtype, name="value_proj")
-        self.out_proj = nn.Dense(
-            self.d_model, kernel_init=nn.initializers.xavier_uniform(),
-            bias_init=nn.initializers.zeros, dtype=self.dtype, name="out_proj")
+        self.out_proj = HeadMergeDense(
+            self.d_model, self.d_model, dtype=self.dtype, name="out_proj")
         self.linear_box = nn.Dense(
             self.num_head * self.num_level * 4,
             kernel_init=nn.initializers.zeros, bias_init=_uniform_bias_init,
@@ -147,10 +196,10 @@ class BoxAttention(nn.Module):
             b, self.num_head, self.num_level, self.num_point, l1)
 
         gx, gy = self._where_to_attend(query, v_valid_ratios, ref_windows)
-        out = box_attention_qminor(value, v_shape, gx, gy, attn_q)
+        out = box_attention_qminor(value, v_shape, gx, gy, attn_q, raw=True)
         attn = attn.reshape(
             b, l1, self.num_head, self.num_level, self.num_point)
-        return self.out_proj(out), attn
+        return self.out_proj.raw(out), attn
 
 
 class InstanceAttention(nn.Module):
@@ -173,9 +222,8 @@ class InstanceAttention(nn.Module):
         self.value_proj = nn.Dense(
             self.d_model, kernel_init=nn.initializers.xavier_uniform(),
             bias_init=nn.initializers.zeros, dtype=self.dtype, name="value_proj")
-        self.out_proj = nn.Dense(
-            self.d_model, kernel_init=nn.initializers.xavier_uniform(),
-            bias_init=nn.initializers.zeros, dtype=self.dtype, name="out_proj")
+        self.out_proj = HeadMergeDense(
+            self.d_model, self.d_model, dtype=self.dtype, name="out_proj")
         self.linear_box = nn.Dense(
             self.num_level * self.num_head * 4,
             kernel_init=nn.initializers.zeros, bias_init=_uniform_bias_init,
@@ -261,11 +309,13 @@ class InstanceAttention(nn.Module):
             from boxer_tpu.ops.box_attention import instance_attention_qminor
 
             out, mask_out = instance_attention_qminor(
-                value, v_shape, gx, gy, spatial, level, kernel_size=k)
-            return self.out_proj(out), self.out_proj(mask_out), (spatial, level)
+                value, v_shape, gx, gy, spatial, level, kernel_size=k,
+                raw=True)
+            return (self.out_proj.raw(out), self.out_proj(mask_out),
+                    (spatial, level))
 
-        out = box_attention_qminor(value, v_shape, gx, gy, spatial)
-        return self.out_proj(out), None, (spatial,)
+        out = box_attention_qminor(value, v_shape, gx, gy, spatial, raw=True)
+        return self.out_proj.raw(out), None, (spatial,)
 
 
 class Box3dAttention(nn.Module):
@@ -293,9 +343,8 @@ class Box3dAttention(nn.Module):
         self.value_proj = nn.Dense(
             self.d_model, kernel_init=nn.initializers.xavier_uniform(),
             bias_init=nn.initializers.zeros, dtype=self.dtype, name="value_proj")
-        self.out_proj = nn.Dense(
-            self.d_model, kernel_init=nn.initializers.xavier_uniform(),
-            bias_init=nn.initializers.zeros, dtype=self.dtype, name="out_proj")
+        self.out_proj = HeadMergeDense(
+            self.d_model, self.d_model, dtype=self.dtype, name="out_proj")
         self.linear_box = nn.Dense(
             self.num_level * self.num_head * self.num_variable,
             kernel_init=nn.initializers.zeros, bias_init=_uniform_bias_init,
@@ -365,7 +414,7 @@ class Box3dAttention(nn.Module):
             b, self.num_head, self.num_level, self.num_point, l1)
 
         gx, gy = self._where_to_attend(query, v_valid_ratios, ref_windows)
-        out = box_attention_qminor(value, v_shape, gx, gy, attn_q)
+        out = box_attention_qminor(value, v_shape, gx, gy, attn_q, raw=True)
         attn = attn.reshape(
             b, l1, self.num_head, self.num_level, self.num_point)
-        return self.out_proj(out), attn
+        return self.out_proj.raw(out), attn

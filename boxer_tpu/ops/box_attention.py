@@ -90,7 +90,7 @@ def _gather_level_samples(value_l, loc_l):
     base = (jnp.arange(bh, dtype=jnp.int32) * (h * w))[:, None]
     idx, wgt = _corner_indices_and_weights(loc_l, h, w, base)
     flat = value_l.reshape(bh * h * w, ch)
-    vals = jnp.take(flat, idx.reshape(-1), axis=0).astype(jnp.float32)
+    vals = jnp.take(flat, idx.reshape(-1), axis=0, mode="clip").astype(jnp.float32)
     vals = vals.reshape(4, bh, n, ch)
     return (vals * wgt[..., None]).sum(axis=0)
 
@@ -186,7 +186,7 @@ def _box_attention_qminor_impl(value, shapes: Shapes, gx, gy, attn_weight):
         w_tap = jnp.where(valid, aw[:, li], 0.0)
 
         for p in range(npt):
-            vals = jnp.take(table, idx[:, p].reshape(-1), axis=0)
+            vals = jnp.take(table, idx[:, p].reshape(-1), axis=0, mode="clip")
             w00 = ((1.0 - lx[:, p]) * (1.0 - ly[:, p]) * w_tap[:, p]
                    ).reshape(-1, 1)
             w01 = (lx[:, p] * (1.0 - ly[:, p]) * w_tap[:, p]).reshape(-1, 1)
@@ -198,8 +198,101 @@ def _box_attention_qminor_impl(value, shapes: Shapes, gx, gy, attn_weight):
                    + vals[:, 2 * ch:3 * ch].astype(jnp.float32) * w10
                    + vals[:, 3 * ch:4 * ch].astype(jnp.float32) * w11)
 
-    out = out.reshape(b, nh, lq, ch).transpose(0, 2, 1, 3).reshape(b, lq, nh * ch)
-    return out.astype(value.dtype)
+    return out.astype(value.dtype).reshape(b, nh, lq, ch)
+
+
+def _smallest_factor(n: int) -> int:
+    for f in range(2, int(n ** 0.5) + 1):
+        if n % f == 0:
+            return f
+    return n
+
+
+def _reduce_pmajor(x, n: int, m: int):
+    """Sum a (n*m, ch) p-major tensor over its leading n blocks -> (m, ch).
+
+    Tree reduction by repeated factor-f slicing: every step is a tile-aligned
+    row-slice + elementwise add (m is kept a multiple of 8 by callers), so the
+    whole reduce is fused elementwise traffic — no reshape of the gather's
+    consumer (which would demote the gather to a serial while-loop) and no
+    strided multi-axis reduce.
+    """
+    while n > 1:
+        f = 2 if n % 2 == 0 else _smallest_factor(n)
+        blk = n // f
+        x = sum(x[i * blk * m:(i + 1) * blk * m] for i in range(f))
+        n = blk
+    return x
+
+
+def _box_attention_qminor_folded(value, shapes: Shapes, gx, gy, attn_weight):
+    """Large-P fast path: ONE gather per level with all taps folded in.
+
+    For instance-attention-sized taps (P = k*k = 196) the per-tap python loop
+    emits L*P tiny gathers (784/layer) and goes op-overhead-bound (~6 ms/layer
+    measured at decoder scale). Here each level is ONE vectorized take of
+    BH*P*LQ rows (~1.6 ns/row, the emitter floor), consumed by the corner
+    mul-add fusion and a p-major tree reduce.
+
+    Row order is (p, b, h, lq) so the P-reduce is leading-axis slicing.
+    Same contract as `_box_attention_qminor_impl`.
+    """
+    b, s, nh, ch = value.shape
+    _, _, nl, npt, lq = gx.shape
+    assert nl == len(shapes)
+    bh = b * nh
+    m = bh * lq
+
+    tables = _build_quad_tables(value, shapes)
+    gx = gx.reshape(bh, nl, npt, lq).astype(jnp.float32)
+    gy = gy.reshape(bh, nl, npt, lq).astype(jnp.float32)
+    aw = attn_weight.reshape(bh, nl, npt, lq).astype(jnp.float32)
+    bh_idx = jnp.arange(bh, dtype=jnp.int32)[None, :, None]   # (1, BH, 1)
+
+    out = jnp.zeros((m, ch), jnp.float32)
+    for li, (hl, wl) in enumerate(shapes):
+        stride = (hl + 1) * (wl + 1)
+        base = bh_idx * stride
+        # p-major layout: (BH, P, LQ) -> (P, BH, LQ); small tensors, cheap
+        x = jnp.swapaxes(gx[:, li], 0, 1) * wl - 0.5
+        y = jnp.swapaxes(gy[:, li], 0, 1) * hl - 0.5
+        w_l = jnp.swapaxes(aw[:, li], 0, 1)
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        lx = x - x0
+        ly = y - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        valid = ((x0i >= -1) & (x0i <= wl - 1)
+                 & (y0i >= -1) & (y0i <= hl - 1))
+        xq = jnp.clip(x0i + 1, 0, wl)
+        yq = jnp.clip(y0i + 1, 0, hl)
+        idx = base + yq * (wl + 1) + xq                       # (P, BH, LQ)
+        w_tap = jnp.where(valid, w_l, 0.0)
+
+        vals = jnp.take(tables[li], idx.reshape(-1), axis=0, mode="clip")  # (P*M, 4Ch)
+        w00 = ((1.0 - lx) * (1.0 - ly) * w_tap).reshape(-1, 1)
+        w01 = (lx * (1.0 - ly) * w_tap).reshape(-1, 1)
+        w10 = ((1.0 - lx) * ly * w_tap).reshape(-1, 1)
+        w11 = (lx * ly * w_tap).reshape(-1, 1)
+        # per-tap corner combine in fp32 registers; the materialized tap
+        # tensor and the tree reduce stay in the value dtype (halves HBM
+        # traffic for bf16 inference; fp32 inputs keep full-precision accum)
+        taps = (vals[:, 0 * ch:1 * ch].astype(jnp.float32) * w00
+                + vals[:, 1 * ch:2 * ch].astype(jnp.float32) * w01
+                + vals[:, 2 * ch:3 * ch].astype(jnp.float32) * w10
+                + vals[:, 3 * ch:4 * ch].astype(jnp.float32) * w11
+                ).astype(value.dtype)
+        out = out + _reduce_pmajor(taps, npt, m).astype(jnp.float32)
+
+    return out.astype(value.dtype).reshape(b, nh, lq, ch)
+
+
+# taps above this go through the folded single-take path; the per-tap loop
+# wins below it (measured: folding the encoder's P=4 regressed the encoder
+# while-loop 48 -> 57 ms — the big-P win comes from avoiding op overhead of
+# L*P tiny gathers, which the encoder doesn't have)
+_FOLD_TAP_THRESHOLD = 8
 
 
 def box_attention(value, shapes: Shapes, sampling_loc, attn_weight):
@@ -221,28 +314,45 @@ def box_attention(value, shapes: Shapes, sampling_loc, attn_weight):
     return box_attention_qminor(value, shapes, gx, gy, aw)
 
 
-def _sample_taps_qminor(value, shapes: Shapes, gx, gy):
-    """Corner-reduced bilinear tap samples, query-minor.
+def instance_attention_qminor(value, shapes: Shapes, gx, gy, spatial_weight,
+                              level_weight, kernel_size: int,
+                              raw: bool = False):
+    """Fused instance attention, query-minor fast path.
 
-    gx, gy: (B, H, L, P, LQ) -> (L, BH, P, LQ, Ch) fp32 samples. Shares the
-    quad-table design of box_attention_qminor (one vectorized fetch per tap,
-    lane-slice corner reduction in the gather's native (N, 4*Ch) layout).
+    gx/gy/spatial_weight/level_weight: (B, H, L, P=k*k, LQ).
+    returns (out (B,LQ,H*Ch) — or (B,H,LQ,Ch) when raw=True —
+    and mask_out (B,LQ,k,k,H*Ch)).
+
+    TPU design: one vectorized take per level with taps folded into the row
+    axis (p-major), dual accumulation — spatial-weighted taps tree-reduced
+    over P for the attention output, level-weighted taps accumulated at full
+    (P*M, Ch) for the k×k mask RoI. Avoids materializing the (L, BH, P, LQ,
+    Ch) stack the previous formulation paid ~8 ms/call for (dynamic-update-
+    slice concat + tile-crossing reshapes).
     """
     b, s, nh, ch = value.shape
     _, _, nl, npt, lq = gx.shape
+    k = kernel_size
+    assert npt == k * k
     bh = b * nh
+    m = bh * lq
 
     tables = _build_quad_tables(value, shapes)
     gx = gx.reshape(bh, nl, npt, lq).astype(jnp.float32)
     gy = gy.reshape(bh, nl, npt, lq).astype(jnp.float32)
-    bh_idx = jnp.arange(bh, dtype=jnp.int32)[:, None]
+    sw = spatial_weight.reshape(bh, nl, npt, lq).astype(jnp.float32)
+    lw = level_weight.reshape(bh, nl, npt, lq).astype(jnp.float32)
+    bh_idx = jnp.arange(bh, dtype=jnp.int32)[None, :, None]   # (1, BH, 1)
 
-    level_taps = []
+    out = jnp.zeros((m, ch), jnp.float32)
+    mask_acc = jnp.zeros((npt * m, ch), jnp.float32)
     for li, (hl, wl) in enumerate(shapes):
         stride = (hl + 1) * (wl + 1)
-        base = bh_idx[:, None] * stride
-        x = gx[:, li] * wl - 0.5
-        y = gy[:, li] * hl - 0.5
+        base = bh_idx * stride
+        x = jnp.swapaxes(gx[:, li], 0, 1) * wl - 0.5          # (P, BH, LQ)
+        y = jnp.swapaxes(gy[:, li], 0, 1) * hl - 0.5
+        sw_l = jnp.swapaxes(sw[:, li], 0, 1)
+        lw_l = jnp.swapaxes(lw[:, li], 0, 1)
         x0 = jnp.floor(x)
         y0 = jnp.floor(y)
         lx = x - x0
@@ -253,47 +363,30 @@ def _sample_taps_qminor(value, shapes: Shapes, gx, gy):
                  & (y0i >= -1) & (y0i <= hl - 1)).astype(jnp.float32)
         xq = jnp.clip(x0i + 1, 0, wl)
         yq = jnp.clip(y0i + 1, 0, hl)
-        idx = (base + yq * (wl + 1) + xq).reshape(-1)
+        idx = base + yq * (wl + 1) + xq
         w00 = ((1.0 - lx) * (1.0 - ly) * valid).reshape(-1, 1)
         w01 = (lx * (1.0 - ly) * valid).reshape(-1, 1)
         w10 = ((1.0 - lx) * ly * valid).reshape(-1, 1)
         w11 = (lx * ly * valid).reshape(-1, 1)
 
-        vals = jnp.take(tables[li], idx, axis=0)
+        vals = jnp.take(tables[li], idx.reshape(-1), axis=0, mode="clip")  # (P*M, 4Ch)
         taps = (vals[:, 0 * ch:1 * ch].astype(jnp.float32) * w00
                 + vals[:, 1 * ch:2 * ch].astype(jnp.float32) * w01
                 + vals[:, 2 * ch:3 * ch].astype(jnp.float32) * w10
                 + vals[:, 3 * ch:4 * ch].astype(jnp.float32) * w11)
-        level_taps.append(taps.reshape(1, bh, npt, lq, ch))
-    return jnp.concatenate(level_taps, axis=0)
+        # layout fence — see _box_attention_qminor_folded
+        taps = jax.lax.optimization_barrier(taps)
+        out = out + _reduce_pmajor(taps * sw_l.reshape(-1, 1), npt, m)
+        mask_acc = mask_acc + taps * lw_l.reshape(-1, 1)
 
-
-def instance_attention_qminor(value, shapes: Shapes, gx, gy, spatial_weight,
-                              level_weight, kernel_size: int):
-    """Fused instance attention, query-minor fast path.
-
-    gx/gy/spatial_weight/level_weight: (B, H, L, P=k*k, LQ).
-    returns (out (B,LQ,H*Ch), mask_out (B,LQ,k,k,H*Ch)).
-    """
-    b, s, nh, ch = value.shape
-    _, _, nl, npt, lq = gx.shape
-    k = kernel_size
-    assert npt == k * k
-    bh = b * nh
-
-    taps = _sample_taps_qminor(value, shapes, gx, gy)   # (L, BH, P, LQ, Ch)
-    sw = spatial_weight.reshape(bh, nl, npt, lq).astype(jnp.float32)
-    lw = level_weight.reshape(bh, nl, npt, lq).astype(jnp.float32)
-    sw = sw.transpose(1, 0, 2, 3)[..., None]            # (L, BH, P, LQ, 1)
-    lw = lw.transpose(1, 0, 2, 3)[..., None]
-
-    out = (taps * sw).sum(axis=(0, 2))                  # (BH, LQ, Ch)
-    mask_out = (taps * lw).sum(axis=0)                  # (BH, P, LQ, Ch)
-
-    out = out.reshape(b, nh, lq, ch).transpose(0, 2, 1, 3).reshape(b, lq, nh * ch)
-    mask_out = mask_out.reshape(b, nh, k, k, lq, ch)
-    mask_out = mask_out.transpose(0, 4, 2, 3, 1, 5).reshape(b, lq, k, k, nh * ch)
-    return out.astype(value.dtype), mask_out.astype(value.dtype)
+    out = out.astype(value.dtype).reshape(b, nh, lq, ch)
+    # mask rows are (p=(ky,kx), b, h, lq) -> (B, LQ, k, k, H*Ch)
+    mask_out = mask_acc.astype(value.dtype).reshape(k, k, b, nh, lq, ch)
+    mask_out = mask_out.transpose(2, 4, 0, 1, 3, 5).reshape(
+        b, lq, k, k, nh * ch)
+    if raw:
+        return out, mask_out
+    return _merge_heads(out), mask_out
 
 
 def instance_attention(value, shapes: Shapes, sampling_loc, spatial_weight,
@@ -383,9 +476,9 @@ def _box_attention_vjp(shapes: Shapes):
         aw = aw_in.reshape(bh, nl, npt, lq).astype(jnp.float32)
         bh_idx = jnp.arange(bh, dtype=jnp.int32)[:, None]
 
-        # output grad in (bh, lq) row order
-        gq = g.astype(jnp.float32).reshape(b, lq, nh, ch)
-        gq = gq.transpose(0, 2, 1, 3).reshape(bh * lq, ch)
+        # output grad arrives in the op's native raw layout (B, H, LQ, C),
+        # which is already (bh, lq) row order
+        gq = g.astype(jnp.float32).reshape(bh * lq, ch)
 
         d_gx = jnp.zeros((bh, nl, npt, lq), jnp.float32)
         d_gy = jnp.zeros_like(d_gx)
@@ -413,7 +506,7 @@ def _box_attention_vjp(shapes: Shapes):
 
             for p in range(npt):
                 idx_p = idx[:, p].reshape(-1)
-                vals = jnp.take(table, idx_p, axis=0).astype(jnp.float32)
+                vals = jnp.take(table, idx_p, axis=0, mode="clip").astype(jnp.float32)
                 # per-corner dot with the output grad: s_c (BH*LQ,)
                 s0 = (vals[:, 0 * ch:1 * ch] * gq).sum(-1)
                 s1 = (vals[:, 1 * ch:2 * ch] * gq).sum(-1)
@@ -480,9 +573,29 @@ def _box_attention_vjp(shapes: Shapes):
 _USE_CUSTOM_VJP = False
 
 
-def box_attention_qminor(value, shapes: Shapes, gx, gy, attn_weight):
-    """Public entry: quad-table fast path (AD or analytic custom backward)."""
+def _merge_heads(raw):
+    """(B, H, LQ, C) -> (B, LQ, H*C). A tile-crossing copy — module code
+    avoids it by consuming the raw layout via HeadMergeDense (per-head
+    batched matmul); only the reference-contract wrappers pay it."""
+    b, nh, lq, ch = raw.shape
+    return raw.transpose(0, 2, 1, 3).reshape(b, lq, nh * ch)
+
+
+def box_attention_qminor(value, shapes: Shapes, gx, gy, attn_weight,
+                         raw: bool = False):
+    """Public entry: quad-table fast path (AD or analytic custom backward).
+
+    raw=True returns (B, H, LQ, C) — the op's native row order — letting the
+    caller fold the head merge into its output projection instead of paying
+    a layout copy per gather output (XLA propagates the transpose's
+    column-major layout upstream; measured 8.6 ms/model in the decoder).
+    """
     if _USE_CUSTOM_VJP:
-        return _box_attention_vjp(tuple(tuple(s) for s in shapes))(
+        out = _box_attention_vjp(tuple(tuple(s) for s in shapes))(
             value, gx, gy, attn_weight)
-    return _box_attention_qminor_impl(value, shapes, gx, gy, attn_weight)
+        return out if raw else _merge_heads(out)
+    if gx.shape[3] > _FOLD_TAP_THRESHOLD:
+        out = _box_attention_qminor_folded(value, shapes, gx, gy, attn_weight)
+    else:
+        out = _box_attention_qminor_impl(value, shapes, gx, gy, attn_weight)
+    return out if raw else _merge_heads(out)
