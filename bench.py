@@ -1,11 +1,16 @@
 """Benchmark: BoxeR-2D R50 single-image inference throughput on TPU.
 
-Mirrors the reference fps harness (`tools/analyze.py:43-86`: batch 1, half
-precision autocast, warm start) — here bf16 compute on one TPU chip at a
-fixed COCO-eval-like resolution. Baseline: 12.5 img/s (reference README.md:61,
-BASELINE.md) for BoxeR-R50.
+Headline metric mirrors the reference fps harness on the model its README fps
+row describes: BoxeR-R50 **instance segmentation** (`use_mask=True`), batch 1,
+half precision, warm start, WITH post-processing in the loop exactly like
+`tools/analyze.py:74-80` (top-100 selection, box rescale, mask paste +
+mask-score rescoring — here the jitted on-device `coco_postprocess`).
+Baseline: 12.5 img/s (reference README.md:61, BASELINE.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Also measures the detection-only model (`use_mask=False`) as a secondary
+field in the same JSON line.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
@@ -26,8 +31,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 BASELINE_FPS = 12.5
 
 
-def main():
+def _measure(use_mask: bool, h: int = 800, w: int = 1216,
+             iters: int = 20) -> float:
     from boxer_tpu.models.boxer2d import BoxeR2D
+    from boxer_tpu.evaluate.postprocess import coco_postprocess
 
     model = BoxeR2D(
         num_classes=91,
@@ -38,13 +45,11 @@ def main():
         dec_layers=6,
         dim_feedforward=1024,
         num_queries=300,
-        use_mask=False,
+        use_mask=use_mask,
         backbone_arch="resnet50",
         dtype=jnp.bfloat16,
     )
 
-    # COCO test processor: shortest edge 800, max 1333 -> typical 800x1216
-    h, w = 800, 1216
     rng = jax.random.PRNGKey(0)
     image = jax.random.normal(rng, (1, h, w, 3), jnp.float32)
     mask = jnp.zeros((1, h, w), bool)
@@ -56,25 +61,30 @@ def main():
     @jax.jit
     def infer(image, mask):
         out = model.apply(variables, image, mask, train=False, inference=True)
-        return out["pred_logits"], out["pred_boxes"]
+        return coco_postprocess(
+            out["pred_logits"], out["pred_boxes"],
+            out.get("pred_masks") if use_mask else None,
+            canvas_hw=(h, w), topk=100)
 
-    # warmup / compile
-    logits, boxes = infer(image, mask)
-    jax.block_until_ready((logits, boxes))
+    out = infer(image, mask)
+    jax.block_until_ready(out)
 
-    iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
-        logits, boxes = infer(image, mask)
-    jax.block_until_ready((logits, boxes))
-    dt = time.perf_counter() - t0
+        out = infer(image, mask)
+    jax.block_until_ready(out)
+    return iters / (time.perf_counter() - t0)
 
-    fps = iters / dt
+
+def main():
+    segm_fps = _measure(use_mask=True)
+    det_fps = _measure(use_mask=False)
     print(json.dumps({
-        "metric": "boxer2d_r50_infer_fps",
-        "value": round(fps, 3),
+        "metric": "boxer2d_r50_segm_infer_fps",
+        "value": round(segm_fps, 3),
         "unit": "img/s",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "vs_baseline": round(segm_fps / BASELINE_FPS, 3),
+        "detection_fps": round(det_fps, 3),
     }))
 
 

@@ -1,0 +1,98 @@
+"""On-device (jittable) COCO detection/instance-seg post-processing.
+
+TPU-native equivalent of the reference's GPU post-processing inside
+`format_for_evalai` (reference `e2edet/dataset/coco.py:126-177`): top-k over
+(query x class) sigmoid scores, box rescale to pixel space, mask paste
+(`paste_grid`, reference `e2edet/utils/general.py:223-246`) and mask-score
+rescoring. The reference runs this as torch GPU ops inside its fps harness
+(`tools/analyze.py:74-80`); here it is one jitted XLA program so the bench
+loop and online evaluation pay ~2 ms, not the ~16 s/image of a host-side
+numpy paste. The host path (`dataset/coco.py format_for_evalai`) remains the
+variable-size offline reference.
+"""
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+def _tent_matrix(starts, ends, out_size: int, in_size: int):
+    """Bilinear interpolation matrix R (N, out_size, in_size) such that
+    R @ mask re-samples a mask of length in_size into the pixel range
+    [start, end) of an out_size axis — exactly `paste_grid`'s
+    align_corners=False zero-padded grid_sample, as a dense tent-kernel
+    matrix: R[n, i, j] = max(0, 1 - |v_i(n) - j|) with
+    v_i = ((i + 0.5) - start) / (end - start) * in_size - 0.5.
+    """
+    i = jnp.arange(out_size, dtype=jnp.float32)[None, :, None]     # (1,O,1)
+    j = jnp.arange(in_size, dtype=jnp.float32)[None, None, :]      # (1,1,I)
+    span = jnp.clip((ends - starts), 1e-6, None)[:, None, None]
+    v = ((i + 0.5) - starts[:, None, None]) / span * in_size - 0.5
+    return jnp.maximum(0.0, 1.0 - jnp.abs(v - j))
+
+
+def paste_masks_mxu(masks, boxes_xy, canvas_hw: Tuple[int, int]):
+    """Paste (N, s, s) masks into (N, H, W) canvases at xyxy pixel boxes.
+
+    Numerically identical to `utils.general.paste_grid` (grid_sample
+    formulation) but computed as two batched matmuls with separable bilinear
+    tent matrices — the gather formulation demotes to a serial XLA path on
+    TPU (~4.7 s/image measured); this runs on the MXU (~5.5 GFLOP for 100
+    masks at 800x1216, ~2 ms).
+    """
+    n, s, _ = masks.shape
+    h, w = canvas_hw
+    ry = _tent_matrix(boxes_xy[:, 1], boxes_xy[:, 3], h, s)        # (N,H,s)
+    rx = _tent_matrix(boxes_xy[:, 0], boxes_xy[:, 2], w, s)        # (N,W,s)
+    tmp = jnp.einsum("nhs,nst->nht", ry, masks.astype(jnp.float32),
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("nht,nwt->nhw", tmp, rx,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def coco_postprocess(logits, boxes, mask_logits=None, *,
+                     canvas_hw: Tuple[int, int], topk: int = 100,
+                     scale: Optional[jnp.ndarray] = None):
+    """Select top-k (query, class) pairs and materialize pixel-space results.
+
+    logits:      (B, NQ, C) raw class logits
+    boxes:       (B, NQ, 4) normalized cxcywh
+    mask_logits: (B, NQ, s, s) raw mask logits or None
+    canvas_hw:   static (H, W) paste canvas (the padded input canvas)
+    scale:       (4,) or (B, 4) multiplier from normalized xyxy to pixels
+                 (defaults to canvas size)
+
+    Returns a dict of device arrays: scores (B, K), labels (B, K) int32,
+    boxes (B, K, 4) xyxy pixels, and — when mask_logits is given — masks
+    (B, K, H, W) bool with mask-rescored scores (reference
+    `coco.py:149-160`).
+    """
+    prob = jax.nn.sigmoid(logits.astype(jnp.float32))
+    b, nq, c = prob.shape
+    k = min(topk, nq * c)
+    scores, idx = jax.lax.top_k(prob.reshape(b, nq * c), k)
+    q = idx // c
+    labels = idx % c
+
+    bx = jnp.take_along_axis(boxes.astype(jnp.float32), q[..., None], axis=1)
+    xy = jnp.concatenate([bx[..., :2] - bx[..., 2:] * 0.5,
+                          bx[..., :2] + bx[..., 2:] * 0.5], axis=-1)
+    h, w = canvas_hw
+    if scale is None:
+        scale = jnp.array([w, h, w, h], jnp.float32)
+    xy = xy * scale
+
+    out = {"scores": scores, "labels": labels, "boxes": xy}
+    if mask_logits is not None:
+        m = jax.nn.sigmoid(mask_logits.astype(jnp.float32))
+        m = jnp.take_along_axis(m, q[:, :, None, None], axis=1)
+        pasted = jax.vmap(
+            lambda mm, bb: paste_masks_mxu(mm, bb, (h, w)))(m, xy)
+        binary = pasted >= 0.5
+        denom = jnp.maximum(binary.sum((-1, -2)), 1.0)
+        mask_scores = (pasted * binary).sum((-1, -2)) / denom
+        out["scores"] = scores * mask_scores
+        out["masks"] = binary
+    return out
