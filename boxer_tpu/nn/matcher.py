@@ -116,11 +116,35 @@ def hungarian(cost: jnp.ndarray, row_valid: jnp.ndarray) -> jnp.ndarray:
     Invalid rows are replaced by constant zeros (assignment of valid rows is
     then exact). Returns col4row (..., NT) int32; entries for invalid rows are
     arbitrary valid column indices and must be masked by the caller.
+
+    Column pruning (exact): when NQ >> NT the solver first restricts each
+    problem to the union of every row's NT cheapest columns. This preserves
+    the optimum: if an optimal assignment used a column outside row i's
+    NT-best, row i has NT cheaper columns of which at most NT-1 are taken, so
+    swapping to a free cheaper one never increases the total (classic
+    exchange argument). Duplicated candidates are disarmed with a +BIG cost
+    so no original column can be assigned twice. This turns the encoder-scale
+    matching (NT=20, NQ~20k: measured 55 ms/step of augmenting-path
+    while-loops) into a (NT, NT^2) solve (~1 ms).
     """
     cost = jnp.where(row_valid[..., None], cost, 0.0)
     batch_shape = cost.shape[:-2]
     flat = cost.reshape((-1,) + cost.shape[-2:])
-    out = jax.vmap(_hungarian_single)(flat)
+    nt, nq = flat.shape[-2:]
+
+    if nq > 4 * nt:
+        k = min(nt, nq)
+        _, idx = jax.lax.top_k(-flat, k)              # (B, NT, k) cheapest
+        cand = jnp.sort(idx.reshape(flat.shape[0], nt * k), axis=-1)
+        dup = jnp.concatenate(
+            [jnp.zeros_like(cand[:, :1], bool),
+             cand[:, 1:] == cand[:, :-1]], axis=-1)   # (B, NT*k)
+        sub = jnp.take_along_axis(flat, cand[:, None, :], axis=-1)
+        sub = jnp.where(dup[:, None, :], BIG, sub)
+        out_sub = jax.vmap(_hungarian_single)(sub)
+        out = jnp.take_along_axis(cand, out_sub, axis=-1)
+    else:
+        out = jax.vmap(_hungarian_single)(flat)
     return out.reshape(batch_shape + (cost.shape[-2],))
 
 

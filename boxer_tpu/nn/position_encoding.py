@@ -54,7 +54,8 @@ def fixed_position_embedding(x, mask: Optional[jnp.ndarray], num_pos_feats: int,
     pos_y = jnp.stack(
         [jnp.sin(pos_y[..., 0::2]), jnp.cos(pos_y[..., 1::2])], axis=-1
     ).reshape(b, h, w, num_pos_feats)
-    return jnp.concatenate([pos_y, pos_x], axis=-1)
+    # reference order: x first (`position_encoding.py:65` cat((pos_x, pos_y)))
+    return jnp.concatenate([pos_x, pos_y], axis=-1)
 
 
 def fixed_box_embedding(x, mask: Optional[jnp.ndarray], hidden_dim: int,
@@ -93,8 +94,13 @@ def fixed_box_embedding(x, mask: Optional[jnp.ndarray], hidden_dim: int,
     h_embed = jnp.broadcast_to((ref_size / size_h)[:, None, None], (b, h, w))
     w_embed = jnp.broadcast_to((ref_size / size_w)[:, None, None], (b, h, w))
 
-    box = jnp.stack([x_embed, y_embed, w_embed, h_embed], axis=-1)
-    return get_proposal_pos_embed(box, hidden_dim)
+    # reference sums TWO 2-var embeddings (hidden_dim/2 feats per variable),
+    # NOT one joint 4-var embedding (`position_encoding.py:108-111`:
+    # box = pos_embed(center) + pos_embed(size))
+    center = jnp.stack([x_embed, y_embed], axis=-1)
+    size = jnp.stack([w_embed, h_embed], axis=-1)
+    return (get_proposal_pos_embed(center, hidden_dim)
+            + get_proposal_pos_embed(size, hidden_dim))
 
 
 def build_position_encoding(kind: str, hidden_dim: int):

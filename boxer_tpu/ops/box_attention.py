@@ -459,6 +459,9 @@ def _box_attention_vjp(shapes: Shapes):
 
     @jax.custom_vjp
     def f(value, gx, gy, attn_weight):
+        if gx.shape[3] > _FOLD_TAP_THRESHOLD:
+            return _box_attention_qminor_folded(value, shapes, gx, gy,
+                                                attn_weight)
         return _box_attention_qminor_impl(value, shapes, gx, gy, attn_weight)
 
     def fwd(value, gx, gy, attn_weight):
@@ -469,28 +472,28 @@ def _box_attention_vjp(shapes: Shapes):
         b, s, nh, ch = value.shape
         _, _, nl, npt, lq = gx_in.shape
         bh = b * nh
+        m = bh * lq
 
         tables = _build_quad_tables(value, shapes)
         gx = gx_in.reshape(bh, nl, npt, lq).astype(jnp.float32)
         gy = gy_in.reshape(bh, nl, npt, lq).astype(jnp.float32)
         aw = aw_in.reshape(bh, nl, npt, lq).astype(jnp.float32)
-        bh_idx = jnp.arange(bh, dtype=jnp.int32)[:, None]
+        bh_idx = jnp.arange(bh, dtype=jnp.int32)[None, :, None]  # (1, BH, 1)
 
         # output grad arrives in the op's native raw layout (B, H, LQ, C),
-        # which is already (bh, lq) row order
-        gq = g.astype(jnp.float32).reshape(bh * lq, ch)
+        # which is already (bh, lq) row order; tiled p-major to align with
+        # the folded (P, BH, LQ) tap rows.
+        gq = g.astype(jnp.float32).reshape(m, ch)
+        gq_p = jnp.concatenate([gq] * npt, axis=0)           # (P*M, Ch)
 
-        d_gx = jnp.zeros((bh, nl, npt, lq), jnp.float32)
-        d_gy = jnp.zeros_like(d_gx)
-        d_aw = jnp.zeros_like(d_gx)
-        per_level = {li: ([], []) for li in range(nl)}  # idx, payload
+        d_gx_l, d_gy_l, d_aw_l, d_levels = [], [], [], []
 
         for li, (hl, wl) in enumerate(shapes):
             stride = (hl + 1) * (wl + 1)
-            base = bh_idx[:, None] * stride
-            table = tables[li]
-            x = gx[:, li] * wl - 0.5
-            y = gy[:, li] * hl - 0.5
+            base = bh_idx * stride
+            x = jnp.swapaxes(gx[:, li], 0, 1) * wl - 0.5     # (P, BH, LQ)
+            y = jnp.swapaxes(gy[:, li], 0, 1) * hl - 0.5
+            aw_l = jnp.swapaxes(aw[:, li], 0, 1)
             x0 = jnp.floor(x)
             y0 = jnp.floor(y)
             lx = x - x0
@@ -501,52 +504,44 @@ def _box_attention_vjp(shapes: Shapes):
                      & (y0i >= -1) & (y0i <= hl - 1)).astype(jnp.float32)
             xq = jnp.clip(x0i + 1, 0, wl)
             yq = jnp.clip(y0i + 1, 0, hl)
-            idx = base + yq * (wl + 1) + xq          # (BH, P, LQ)
-            w_tap = valid * aw[:, li]
+            idx_f = (base + yq * (wl + 1) + xq).reshape(-1)  # (P*M,)
+            w_tap = valid * aw_l
 
-            for p in range(npt):
-                idx_p = idx[:, p].reshape(-1)
-                vals = jnp.take(table, idx_p, axis=0, mode="clip").astype(jnp.float32)
-                # per-corner dot with the output grad: s_c (BH*LQ,)
-                s0 = (vals[:, 0 * ch:1 * ch] * gq).sum(-1)
-                s1 = (vals[:, 1 * ch:2 * ch] * gq).sum(-1)
-                s2 = (vals[:, 2 * ch:3 * ch] * gq).sum(-1)
-                s3 = (vals[:, 3 * ch:4 * ch] * gq).sum(-1)
-                s0 = s0.reshape(bh, lq)
-                s1 = s1.reshape(bh, lq)
-                s2 = s2.reshape(bh, lq)
-                s3 = s3.reshape(bh, lq)
+            # ONE folded recompute-gather per level (the fwd-path formulation)
+            vals = jnp.take(tables[li], idx_f, axis=0,
+                            mode="clip").astype(jnp.float32)  # (P*M, 4Ch)
+            # per-corner dot with the output grad: s_c (P, BH, LQ)
+            s0 = (vals[:, 0 * ch:1 * ch] * gq_p).sum(-1).reshape(npt, bh, lq)
+            s1 = (vals[:, 1 * ch:2 * ch] * gq_p).sum(-1).reshape(npt, bh, lq)
+            s2 = (vals[:, 2 * ch:3 * ch] * gq_p).sum(-1).reshape(npt, bh, lq)
+            s3 = (vals[:, 3 * ch:4 * ch] * gq_p).sum(-1).reshape(npt, bh, lq)
 
-                lxp = lx[:, p]
-                lyp = ly[:, p]
-                bilin = ((1 - lxp) * (1 - lyp) * s0 + lxp * (1 - lyp) * s1
-                         + (1 - lxp) * lyp * s2 + lxp * lyp * s3)
-                d_aw = d_aw.at[:, li, p].set(valid[:, p] * bilin)
+            bilin = ((1 - lx) * (1 - ly) * s0 + lx * (1 - ly) * s1
+                     + (1 - lx) * ly * s2 + lx * ly * s3)
+            d_aw_l.append(jnp.swapaxes(valid * bilin, 0, 1))  # (BH, P, LQ)
 
-                wtp = w_tap[:, p]
-                dlx = wtp * (-(1 - lyp) * s0 + (1 - lyp) * s1
-                             - lyp * s2 + lyp * s3)
-                dly = wtp * (-(1 - lxp) * s0 - lxp * s1
-                             + (1 - lxp) * s2 + lxp * s3)
-                d_gx = d_gx.at[:, li, p].set(dlx * wl)
-                d_gy = d_gy.at[:, li, p].set(dly * hl)
+            dlx = w_tap * (-(1 - ly) * s0 + (1 - ly) * s1 - ly * s2 + ly * s3)
+            dly = w_tap * (-(1 - lx) * s0 - lx * s1 + (1 - lx) * s2 + lx * s3)
+            d_gx_l.append(jnp.swapaxes(dlx * wl, 0, 1))
+            d_gy_l.append(jnp.swapaxes(dly * hl, 0, 1))
 
-                # payload for d_table: corner weights x g, (BH*LQ, 4*Ch)
-                w00 = ((1 - lxp) * (1 - lyp) * wtp).reshape(-1, 1)
-                w01 = (lxp * (1 - lyp) * wtp).reshape(-1, 1)
-                w10 = ((1 - lxp) * lyp * wtp).reshape(-1, 1)
-                w11 = (lxp * lyp * wtp).reshape(-1, 1)
-                per_level[li][1].append(jnp.concatenate(
-                    [w00 * gq, w01 * gq, w10 * gq, w11 * gq], axis=-1))
-                per_level[li][0].append(idx_p)
+            # d_table: ONE scatter of folded 4-corner payload rows. The
+            # barrier keeps the payload compute OUT of the scatter fusion —
+            # fused, the per-row scalar multiplies run in the scatter's
+            # layout and cost ~2.2 ms per 161k rows; separated, payload is a
+            # normal elementwise fusion and the scatter streams at HBM speed
+            # (~0.04 ms per 161k rows, measured).
+            w00 = ((1 - lx) * (1 - ly) * w_tap).reshape(-1, 1)
+            w01 = (lx * (1 - ly) * w_tap).reshape(-1, 1)
+            w10 = ((1 - lx) * ly * w_tap).reshape(-1, 1)
+            w11 = (lx * ly * w_tap).reshape(-1, 1)
+            payload = jnp.concatenate(
+                [w00 * gq_p, w01 * gq_p, w10 * gq_p, w11 * gq_p], axis=-1)
+            payload = jax.lax.optimization_barrier(payload)
+            d_table = jnp.zeros(tables[li].shape, jnp.float32).at[idx_f].add(
+                payload)
 
-        # transpose of the quad-table construction -> d_value (per level)
-        d_levels = []
-        for li, (hl, wl) in enumerate(shapes):
-            idx_l = jnp.concatenate(per_level[li][0])
-            payload_l = jnp.concatenate(per_level[li][1], axis=0)
-            d_table = jnp.zeros(tables[li].shape, jnp.float32).at[idx_l].add(
-                payload_l)
+            # dense transpose of the quad-table construction
             dq = d_table.reshape(bh, hl + 1, wl + 1, 4 * ch)
             d_pad = jnp.zeros((bh, hl + 2, wl + 2, ch), jnp.float32)
             for c, (dy, dx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
@@ -554,8 +549,13 @@ def _box_attention_vjp(shapes: Shapes):
                     dq[..., c * ch:(c + 1) * ch])
             d_levels.append(
                 d_pad[:, 1:hl + 1, 1:wl + 1].reshape(bh, hl * wl, ch))
+
         d_v = jnp.concatenate(d_levels, axis=1)          # (BH, S, Ch)
         d_value = d_v.reshape(b, nh, s, ch).transpose(0, 2, 1, 3)
+
+        d_gx = jnp.stack(d_gx_l, axis=1)                 # (BH, L, P, LQ)
+        d_gy = jnp.stack(d_gy_l, axis=1)
+        d_aw = jnp.stack(d_aw_l, axis=1)
 
         return (d_value.astype(value.dtype),
                 d_gx.reshape(gx_in.shape).astype(gx_in.dtype),
@@ -566,10 +566,14 @@ def _box_attention_vjp(shapes: Shapes):
     return f
 
 
-# Backward selection: XLA AD measured FASTER than the hand-written analytic
-# VJP on v5e (58.5 ms vs 73 ms per encoder layer — the explicit scatter
-# payload assembly costs more than what AD emits), so AD is the default.
-# The analytic path is kept for numerics pinning/debugging.
+# Backward selection: XLA AD remains the default. The analytic custom VJP
+# (folded recompute-gathers + one barrier-isolated scatter per level) was
+# measured SLOWER end-to-end (589 vs 374 ms/step on v5e): the folded 646k-row
+# f32 payload materialization (+55 ms) and converts outweigh the saved
+# per-tap scatters — XLA:TPU scatter cost is ~13.6 ns/ROW regardless of how
+# taps are grouped, so folding 4 tap-scatters into 1 moves no rows. The
+# analytic path is kept for numerics pinning/debugging (validated to the
+# torch oracle across the ch/P sweep in tests/test_box_attention.py).
 _USE_CUSTOM_VJP = False
 
 

@@ -10,7 +10,11 @@ from boxer_tpu.nn.matcher import HungarianMatcher, hungarian
 
 
 @pytest.mark.parametrize("seed", range(6))
-@pytest.mark.parametrize("n,m", [(1, 5), (4, 10), (10, 10), (25, 60), (100, 300)])
+@pytest.mark.parametrize(
+    "n,m",
+    [(1, 5), (4, 10), (10, 10), (25, 60), (100, 300),
+     # column-pruned fast path (NQ > 4*NT), incl. encoder-matching scale
+     (10, 200), (20, 2000), (3, 50)])
 def test_hungarian_matches_scipy_cost(seed, n, m):
     rng = np.random.RandomState(seed)
     cost = rng.randn(n, m).astype(np.float32) * 10
@@ -25,9 +29,10 @@ def test_hungarian_matches_scipy_cost(seed, n, m):
     np.testing.assert_allclose(ours_total, ref_total, rtol=1e-5, atol=1e-4)
 
 
-def test_hungarian_padded_rows():
+@pytest.mark.parametrize("m", [40, 2000])
+def test_hungarian_padded_rows(m):
     rng = np.random.RandomState(1)
-    n, m, nv = 20, 40, 7
+    n, nv = 20, 7
     cost = rng.randn(n, m).astype(np.float32)
     valid = np.zeros(n, bool)
     valid[:nv] = True
