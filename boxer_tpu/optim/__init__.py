@@ -36,16 +36,27 @@ def _warmup_factor(step, warmup_iterations, warmup_factor):
 
 @SCHEDULER_REGISTRY.register("multi_step")
 def multi_step_schedule(config) -> Callable[[jnp.ndarray], jnp.ndarray]:
-    """Parity: reference `multi_step_scheduler.py:5-41` (iter mode)."""
+    """Parity: reference `multi_step_scheduler.py:5-41`, both clocks.
+
+    `mode: epoch` re-creates the reference's dual per-epoch clock
+    (`lr_scheduler.py:108-144` `step_epoch`): decay thresholds count epochs,
+    converted here from the update index via `_steps_per_epoch` (injected by
+    the trainer); warmup stays on the iteration clock, matching the
+    reference's `get_iter_lr` in epoch mode."""
     lr_steps = tuple(config["lr_steps"])
     lr_ratio = config["lr_ratio"]
     use_warmup = config.get("use_warmup", False)
     warmup_iterations = config.get("warmup_iterations", 0)
     wf = config.get("warmup_factor", 1.0)
+    epoch_mode = config.get("mode", "iter") == "epoch"
+    spe = max(1, int(config.get("_steps_per_epoch", 1)))
 
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
-        n_passed = sum(jnp.where(step > s, 1.0, 0.0) for s in lr_steps)
+        clock = jnp.floor(step / spe) if epoch_mode else step
+        # bisect_right semantics: decay applies AT the threshold
+        # (reference `multi_step_scheduler.py:19-37`)
+        n_passed = sum(jnp.where(clock >= s, 1.0, 0.0) for s in lr_steps)
         factor = lr_ratio ** n_passed
         if use_warmup and warmup_iterations > 0:
             factor = jnp.where(
@@ -60,16 +71,20 @@ def multi_step_schedule(config) -> Callable[[jnp.ndarray], jnp.ndarray]:
 
 @SCHEDULER_REGISTRY.register("step")
 def step_schedule(config):
-    """Parity: reference `step_scheduler.py:5-38`."""
+    """Parity: reference `step_scheduler.py:5-38`, both clocks (see
+    multi_step_schedule for the epoch-mode convention)."""
     step_size = config["step_size"]
     lr_ratio = config.get("lr_ratio", 0.1)
     use_warmup = config.get("use_warmup", False)
     warmup_iterations = config.get("warmup_iterations", 0)
     wf = config.get("warmup_factor", 1.0)
+    epoch_mode = config.get("mode", "iter") == "epoch"
+    spe = max(1, int(config.get("_steps_per_epoch", 1)))
 
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
-        factor = lr_ratio ** jnp.floor(step / step_size)
+        clock = jnp.floor(step / spe) if epoch_mode else step
+        factor = lr_ratio ** jnp.floor(clock / step_size)
         if use_warmup and warmup_iterations > 0:
             factor = jnp.where(
                 step <= warmup_iterations,

@@ -207,9 +207,19 @@ class BaseTrainer:
             "deform_lr_multi", 1.0)
         sched_cfg = self.config.get("scheduler", {})
         base_lr = opt_cfg["params"].get("lr", 1e-4)
-        self.schedule = (build_schedule(sched_cfg, base_lr)
-                         if sched_cfg and "type" in sched_cfg
-                         else None)
+        if sched_cfg and "type" in sched_cfg:
+            sched_cfg = (sched_cfg.to_dict()
+                         if hasattr(sched_cfg, "to_dict") else dict(sched_cfg))
+            # epoch-clock schedulers (reference `lr_scheduler.py:108-144`)
+            # need the epoch length in update steps
+            params = dict(sched_cfg.get("params", {}))
+            if "train" in getattr(self, "loaders", {}):
+                params["_steps_per_epoch"] = max(
+                    1, len(self.loaders["train"]))
+            sched_cfg["params"] = params
+            self.schedule = build_schedule(sched_cfg, base_lr)
+        else:
+            self.schedule = None
         self.tx, _ = build_optimizer(opt_cfg, params, self.schedule)
 
         state = create_train_state(params, constants, self.tx)

@@ -72,6 +72,16 @@ def train_epoch(trainer):
         if trainer.current_update % log_interval == 0:
             _update_info(trainer, pending_stats, updates_in_window,
                          time.perf_counter() - t_window)
+            # reconcile with the in-graph NaN-skip counter (reference skips
+            # its update counter on non-finite grads, `engine.py:238-242`);
+            # reading state.step here costs nothing extra — _update_info just
+            # synced the stats, so the device pipeline is already drained
+            device_step = int(trainer.state.step)
+            if device_step != trainer.current_update:
+                trainer.logger.info(
+                    f"{trainer.current_update - device_step} update(s) "
+                    "skipped on non-finite gradients; aligning counter")
+                trainer.current_update = device_step
             t_window = time.perf_counter()
             updates_in_window = 0
 

@@ -72,15 +72,19 @@ class Logger:
 
 
 class ScalarWriter:
-    """JSONL scalar sink (TensorBoardLogger.add_scalars parity surface,
-    reference `logger.py:130-169`)."""
+    """Scalar sink: JSONL + TensorBoard event files
+    (TensorboardLogger.add_scalars parity, reference `logger.py:130-169`)."""
 
     def __init__(self, save_dir: str):
         self.path = None
+        self._tb = None
         if is_master():
             os.makedirs(save_dir, exist_ok=True)
             self.path = os.path.join(save_dir, "scalars.jsonl")
             self._f = open(self.path, "a")
+            from boxer_tpu.utils.tb_writer import TensorboardWriter
+
+            self._tb = TensorboardWriter(os.path.join(save_dir, "tb"))
 
     def add_scalars(self, scalars: Dict[str, float], step: int):
         if self.path is None:
@@ -89,7 +93,10 @@ class ScalarWriter:
             self._f.write(json.dumps(
                 {"step": int(step), "tag": tag, "value": float(value)}) + "\n")
         self._f.flush()
+        self._tb.add_scalars(scalars, step)
 
     def close(self):
         if self.path is not None:
             self._f.close()
+        if self._tb is not None:
+            self._tb.close()

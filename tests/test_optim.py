@@ -27,6 +27,31 @@ def test_multi_step_schedule():
     assert float(sched(250)) == pytest.approx(0.01)
 
 
+def test_multi_step_schedule_epoch_mode():
+    """Epoch-clock parity (reference `lr_scheduler.py:108-144` step_epoch):
+    decay thresholds count epochs; warmup stays on the iter clock."""
+    from boxer_tpu.optim import build_schedule
+
+    sched = build_schedule(
+        {"type": "multi_step",
+         "params": {"lr_steps": [2, 4], "lr_ratio": 0.1, "mode": "epoch",
+                    "_steps_per_epoch": 50, "use_warmup": True,
+                    "warmup_iterations": 10, "warmup_factor": 0.001}},
+        base_lr=1e-3)
+    assert float(sched(0)) == pytest.approx(0.001)
+    assert float(sched(10)) == pytest.approx(1.0)
+    assert float(sched(99)) == pytest.approx(1.0)    # epoch 1
+    assert float(sched(149)) == pytest.approx(0.1)   # epoch 2 (> 2? no: 2 not >2)
+    assert float(sched(249)) == pytest.approx(0.01)  # epoch 4
+    sched_it = build_schedule(
+        {"type": "step",
+         "params": {"step_size": 3, "lr_ratio": 0.1, "mode": "epoch",
+                    "_steps_per_epoch": 10}},
+        base_lr=1e-3)
+    assert float(sched_it(29)) == pytest.approx(1.0)   # epoch 2
+    assert float(sched_it(30)) == pytest.approx(0.1)   # epoch 3
+
+
 def test_cosine_schedule():
     from boxer_tpu.optim import build_schedule
 
