@@ -12,13 +12,17 @@ def register_model(name):
     return MODEL_REGISTRY.register(name)
 
 
-def build_model(config, num_classes: int, dtype=None):
+def build_model(config, num_classes: int, dtype=None, seq_shard: bool = False):
     """config: the per-model config node (e.g. config.model_config.boxer2d)."""
     import jax.numpy as jnp
 
     model_type = config.get("type")
     cls = MODEL_REGISTRY.get(model_type)
-    return cls.from_config(config, num_classes, dtype=dtype or jnp.float32)
+    kwargs = {}
+    if seq_shard:
+        kwargs["seq_shard"] = True   # models without sp support reject it
+    return cls.from_config(config, num_classes, dtype=dtype or jnp.float32,
+                           **kwargs)
 
 
 # populate registry

@@ -38,13 +38,16 @@ class BoxeR2D(nn.Module):
     residual_mode: str = "v1"
     backbone_arch: str = "resnet50"
     position_encoding: str = "fixed_box"
+    seq_shard: bool = False
     dtype: Any = jnp.float32
 
     @classmethod
-    def from_config(cls, config, num_classes: int, dtype=jnp.float32):
+    def from_config(cls, config, num_classes: int, dtype=jnp.float32,
+                    seq_shard: bool = False):
         t = config["transformer"]["params"]
         bb = config["backbone"]
         return cls(
+            seq_shard=seq_shard,
             num_classes=num_classes,
             hidden_dim=config["hidden_dim"],
             nhead=t["nhead"],
@@ -107,6 +110,7 @@ class BoxeR2D(nn.Module):
             use_mask=self.use_mask,
             ref_size=self.ref_size,
             residual_mode=self.residual_mode,
+            seq_shard=self.seq_shard,
             dtype=self.dtype,
             name="transformer",
         )

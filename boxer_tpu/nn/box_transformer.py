@@ -204,6 +204,9 @@ class BoxTransformer(nn.Module):
     # layer for O(1) activation memory across the 20k-token encoder
     # (jax.checkpoint; essential at batch 16 on a 16GB chip)
     remat: bool = True
+    # shard the flattened token axis over the `sp` mesh axis (SURVEY §5
+    # long-context design addition; requires a mesh context at trace time)
+    seq_shard: bool = False
     dtype: Any = jnp.float32
 
     def _get_enc_proposals(self, enc_detector, enc_linear, enc_norm,
@@ -269,6 +272,14 @@ class BoxTransformer(nn.Module):
             [p.reshape(p.shape[0], -1, p.shape[-1]) for p in pos_list], axis=1
         )
 
+        if self.seq_shard:
+            from boxer_tpu.parallel.sharding import seq_constraint
+
+            src = seq_constraint(src)
+            src_pos = seq_constraint(src_pos)
+            if src_mask is not None:
+                src_mask = seq_constraint(src_mask)
+
         # ---- encoder: nn.scan over one compiled (optionally remat) layer ----
         body = nn.remat(EncoderLayer) if self.remat else EncoderLayer
         ScannedEncoder = nn.scan(
@@ -283,6 +294,9 @@ class BoxTransformer(nn.Module):
             self.dropout, v_shape=v_shape, deterministic=not train,
             dtype=self.dtype, name="encoder_layers",
         )(src, src_pos, src_mask, valid_ratios, src_ref_windows)
+
+        if self.seq_shard:
+            output = seq_constraint(output)
 
         # shared enc-proposal head
         enc_detector = Detector(self.d_model, 1, aux_loss=False,

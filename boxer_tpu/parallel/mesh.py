@@ -8,6 +8,10 @@ SPMD mesh with named axes
 
 The reference has no TP (SURVEY §2.3); `mp=1` reproduces its pure-DP layout,
 while `mp>1` is the scale-out extension the TPU build adds.
+  sp — sequence parallelism over the flattened multi-scale token axis
+       (~20k tokens at 1024^2 LSJ, SURVEY §5 "long-context"): tokens are
+       sharded for every elementwise/matmul site; XLA all-gathers the quad
+       tables for the box-attention sampling automatically.
 """
 
 from typing import Optional
@@ -19,15 +23,18 @@ from jax.sharding import Mesh
 _DEFAULT_MESH: Optional[Mesh] = None
 
 
-def create_mesh(dp: Optional[int] = None, mp: int = 1, devices=None) -> Mesh:
+def create_mesh(dp: Optional[int] = None, mp: int = 1, sp: int = 1,
+                devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if dp is None:
-        assert n % mp == 0, f"{n} devices not divisible by mp={mp}"
-        dp = n // mp
-    assert dp * mp == n, f"dp({dp}) * mp({mp}) != devices({n})"
-    arr = np.asarray(devices).reshape(dp, mp)
-    return Mesh(arr, axis_names=("dp", "mp"))
+        assert n % (mp * sp) == 0, \
+            f"{n} devices not divisible by mp({mp})*sp({sp})"
+        dp = n // (mp * sp)
+    assert dp * mp * sp == n, \
+        f"dp({dp}) * sp({sp}) * mp({mp}) != devices({n})"
+    arr = np.asarray(devices).reshape(dp, sp, mp)
+    return Mesh(arr, axis_names=("dp", "sp", "mp"))
 
 
 def get_default_mesh() -> Mesh:

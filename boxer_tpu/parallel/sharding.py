@@ -85,6 +85,26 @@ def optimizer_state_shardings(mesh: Mesh, opt_state, zero1: bool = True) -> Any:
     return jax.tree_util.tree_map_with_path(spec, opt_state)
 
 
+def seq_constraint(x, token_axis: int = 1):
+    """Shard a (..., S, ...) token-axis tensor over the ``sp`` mesh axis
+    (batch over dp). Requires an active mesh context at trace time
+    (`with mesh:` around the jit call); no-op outside one.
+
+    This is the SURVEY §5 long-context design addition: the ~20k-token
+    flattened multi-scale sequence is sharded for every elementwise /
+    matmul / per-query sampling site, and XLA's SPMD partitioner inserts
+    the all-gather of the (small, bf16) quad tables that the arbitrary-
+    index box-attention gathers need.
+    """
+    spec = [None] * x.ndim
+    spec[0] = "dp"
+    spec[token_axis] = "sp"
+    try:
+        return jax.lax.with_sharding_constraint(x, P(*spec))
+    except (ValueError, RuntimeError, AssertionError):
+        return x
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -80,8 +80,10 @@ class BaseTrainer:
 
         dist = self.config.get("distributed", {}) or {}
         mp = int(dist.get("mp", 1) or 1)
+        sp = int(dist.get("sp", 1) or 1)
         dp = dist.get("dp")
-        self.mesh = create_mesh(dp=dp, mp=mp)
+        self.mesh = create_mesh(dp=dp, mp=mp, sp=sp)
+        self.seq_shard = sp > 1
         set_default_mesh(self.mesh)
         self.zero1 = bool(dist.get("zero1", True))
         self.logger.info(
@@ -152,7 +154,8 @@ class BaseTrainer:
         model_cfg = self.config.model_config[model_name]
         mixed = rc.get("mixed_precision", "bfloat16")
         dtype = jnp.bfloat16 if mixed == "bfloat16" else jnp.float32
-        self.model = build_model(model_cfg, self.num_classes, dtype=dtype)
+        self.model = build_model(model_cfg, self.num_classes, dtype=dtype,
+                                 seq_shard=getattr(self, "seq_shard", False))
 
         ipu = int(rc.get("iter_per_update", 1))
         self.criterion = build_loss(model_cfg["loss"], self.num_classes, ipu)
@@ -245,15 +248,27 @@ class BaseTrainer:
             metric_cfg.to_dict() if hasattr(metric_cfg, "to_dict")
             else metric_cfg)
         max_norm = float(rc.get("max_norm", 0) or 0)
-        self._train_step = jax.jit(
+        def with_mesh(fn):
+            # the sp token-axis constraints use bare PartitionSpecs, which
+            # resolve against the ambient mesh context at trace time
+            mesh = self.mesh
+
+            def wrapped(*a, **k):
+                with mesh:
+                    return fn(*a, **k)
+
+            return wrapped
+
+        self._train_step = with_mesh(jax.jit(
             make_train_step(self.model, self.criterion, self.tx,
                             max_norm=max_norm, iter_per_update=ipu,
                             static=self.static_batch, metrics=metrics),
-            out_shardings=(self.state_shardings, None), donate_argnums=(0,))
-        self._eval_step = jax.jit(make_eval_step(self.model, self.criterion,
-                                                 static=self.static_batch))
-        self._inference_step = jax.jit(
-            make_inference_step(self.model, static=self.static_batch))
+            out_shardings=(self.state_shardings, None), donate_argnums=(0,)))
+        self._eval_step = with_mesh(jax.jit(
+            make_eval_step(self.model, self.criterion,
+                           static=self.static_batch)))
+        self._inference_step = with_mesh(jax.jit(
+            make_inference_step(self.model, static=self.static_batch)))
         self._rng = jax.random.PRNGKey(self.seed + 7)
 
         n_params = sum(int(np.prod(l.shape))

@@ -6,6 +6,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow
+
 
 def test_boxer3d_forward_shapes():
     from boxer_tpu.models.boxer3d import BoxeR3D

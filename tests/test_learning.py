@@ -11,6 +11,8 @@ import pytest
 import yaml
 from PIL import Image
 
+pytestmark = pytest.mark.slow
+
 
 def test_overfit_reaches_ap(tmp_path):
     root = tmp_path / "data"

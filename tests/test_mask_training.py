@@ -7,6 +7,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow
+
 
 def test_mask_train_step_loss_decreases():
     from boxer_tpu.criterion.losses import Boxer2DCriterion

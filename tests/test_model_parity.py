@@ -18,8 +18,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "helpers"))
 
 from reference_torch import reference_available
 
-pytestmark = pytest.mark.skipif(
-    not reference_available(), reason="reference repo not present")
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not reference_available(),
+                       reason="reference repo not present"),
+]
 
 
 @pytest.fixture(scope="module")

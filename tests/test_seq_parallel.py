@@ -1,0 +1,30 @@
+"""Sequence-parallel (sp) mesh axis: full train step on a dp2 x sp2 x mp2
+virtual-CPU mesh (SURVEY §5 long-context design addition).
+
+The flattened encoder token axis is sharded over sp via
+`with_sharding_constraint`; XLA's SPMD partitioner inserts the quad-table
+all-gathers that the arbitrary-index box-attention sampling needs.
+"""
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+def test_dp_sp_mp_train_step():
+    import __graft_entry__
+
+    # under tests/conftest.py the CPU backend exposes 8 virtual devices;
+    # dryrun builds a dp2 x sp2 x mp2 mesh with seq_shard enabled and runs
+    # one full sharded train step
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_seq_constraint_is_noop_without_mesh():
+    import jax.numpy as jnp
+
+    from boxer_tpu.parallel.sharding import seq_constraint
+
+    x = jnp.ones((2, 16, 8))
+    y = seq_constraint(x)
+    assert y.shape == x.shape

@@ -14,6 +14,8 @@ from boxer_tpu.nn.matcher import HungarianMatcher
 from boxer_tpu.optim import build_optimizer, build_schedule
 from boxer_tpu.parallel.steps import TrainState, create_train_state, make_train_step
 
+pytestmark = pytest.mark.slow
+
 WEIGHTS = {"loss_ce": 2.0, "loss_bbox": 5.0, "loss_giou": 2.0}
 
 

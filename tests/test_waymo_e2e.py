@@ -10,6 +10,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow
+
 PC_RANGE = [-5.12, -5.12, -3.0, 5.12, 5.12, 3.0]
 VOXEL_SIZE = [0.32, 0.32, 6.0]
 
