@@ -11,6 +11,14 @@ CYCLIST 0.5), BEV or 3D IoU, difficulty re-levelling by num_points
 When the official `waymo_open_dataset` package is available the script
 defers to it for exact parity numbers.
 
+Validated against hand-computed rotated-IoU / AP fixtures
+(tests/test_waymo_metrics.py). Known deviations from the official metric
+ops: (1) matching is greedy in detection-score order rather than the
+official Hungarian-type assignment — deltas only when two above-threshold
+detections compete for overlapping GTs; (2) AP integrates the monotone
+precision envelope over all recall points rather than the official fixed
+recall-delta sampling.
+
 Usage: python -m boxer_tpu.evaluate.waymo_eval --result <save_dir>/results.pkl
 """
 

@@ -132,7 +132,7 @@ def _build_quad_tables(value, shapes):
 
 
 @functools.lru_cache(maxsize=None)
-def _take_rows_vjp(stride: int, bh: int, pmajor_p: int = 0):
+def _take_rows_vjp(stride: int, bh: int, pmajor_p: int = 0, n_b: int = 1):
     """`jnp.take` of quad-table rows with a Pallas-backed d_table scatter.
 
     Surgical custom VJP: the forward is exactly the vectorized take (fast on
@@ -149,6 +149,20 @@ def _take_rows_vjp(stride: int, bh: int, pmajor_p: int = 0):
 
     @jax.custom_vjp
     def take_rows(table, idx):
+        if n_b > 1 and not pmajor_p:
+            # batched inference/training: XLA's vectorized-gather cost grows
+            # with TABLE row count (0.36 ms/161k fetches at <=64k rows but
+            # 1.09 ms at 680k, measured), so split the take per batch item —
+            # each piece indexes only its own (H*stride)-row table slice
+            hs = bh // n_b
+            outs = []
+            for bi in range(n_b):
+                tb = jax.lax.slice_in_dim(
+                    table, bi * hs * stride, (bi + 1) * hs * stride)
+                ib = idx[bi * hs:(bi + 1) * hs] - bi * hs * stride
+                outs.append(jnp.take(tb, ib.reshape(-1), axis=0,
+                                     mode="clip"))
+            return jnp.concatenate(outs, axis=0)
         return jnp.take(table, idx.reshape(-1), axis=0, mode="clip")
 
     def fwd(table, idx):
@@ -242,7 +256,7 @@ def _box_attention_qminor_impl(value, shapes: Shapes, gx, gy, attn_weight):
         idx = base + yq * (wl + 1) + xq
         w_tap = jnp.where(valid, aw[:, li], 0.0)
 
-        take = _take_rows_vjp(stride, bh)
+        take = _take_rows_vjp(stride, bh, n_b=b)
         for p in range(npt):
             vals = take(table, idx[:, p])
             w00 = ((1.0 - lx[:, p]) * (1.0 - ly[:, p]) * w_tap[:, p]

@@ -16,9 +16,11 @@ Design notes (all measured on v5e):
   process STRIDED tap positions (t, t+C/4, ...) so in-flight accumulates
   touch distant rows, and small tables additionally get 4 independent
   accumulator copies (summed at the end);
-- payload stays f32: Mosaic cannot prove sublane alignment for
-  dynamic-offset (1, 128) bf16 loads ((16, 128) tiling); the upcast is a
-  fusible elementwise op in the caller's graph;
+- payload keeps the caller's dtype (bf16 in training): Mosaic cannot prove
+  sublane alignment for dynamic-offset (1, 128) bf16 loads ((16, 128)
+  tiling), so each iteration loads one ALIGNED (8, CH) block and extracts
+  the 8 rows statically in registers — halving the payload relayout traffic
+  and removing the separate f32 conversion pass;
 - payload is NOT padded (the pad's dynamic-update-slice materialized an
   extra full copy); instead only the small idx array is padded, with padded
   taps routed to a sacrificial dump row past the live table rows, and the
@@ -47,7 +49,8 @@ def _round_up(n: int, m: int) -> int:
 
 
 @functools.lru_cache(maxsize=None)
-def _build_call(bh: int, nt: int, rb_pad: int, ch: int):
+def _build_call(bh: int, nt: int, rb_pad: int, ch: int,
+                pay_dtype: str = "float32"):
     nch = pl.cdiv(nt, _CHUNK)
     acc_rows = rb_pad + 8          # last 8 rows = dump for padded taps
     multi = rb_pad <= _MULTI_ACC_MAX_ROWS
@@ -66,17 +69,24 @@ def _build_call(bh: int, nt: int, rb_pad: int, ch: int):
                 a[:] = jnp.zeros_like(a)
 
         def body(i, _):
-            # strided slots: in-flight read-modify-writes touch rows ~C/4
-            # taps apart (and distinct accumulators when multi)
+            # one ALIGNED (8, CH) payload block per iteration: bf16 rows
+            # cannot be loaded at arbitrary sublane offsets ((16,128)
+            # tiling), but an 8-row block at a provably-8-multiple offset
+            # can; rows are then extracted statically in registers.
+            # Slots stay strided so in-flight read-modify-writes touch rows
+            # ~C/4 taps apart (and distinct accumulators when multi).
             for k in range(_UNROLL):
-                t = i + k * stride
+                base_t = pl.multiple_of(k * stride + i * 8, 8)
+                block = payload_ref[0, pl.ds(base_t, 8), :].astype(
+                    jnp.float32)
                 a = accs[k % n_acc]
-                j = idx_ref[t]
-                a[pl.ds(j, 1), :] = (a[pl.ds(j, 1), :]
-                                     + payload_ref[0, pl.ds(t, 1), :])
+                for r in range(8):
+                    j = idx_ref[base_t + r]
+                    a[pl.ds(j, 1), :] = (a[pl.ds(j, 1), :]
+                                         + block[r:r + 1, :])
             return 0
 
-        jax.lax.fori_loop(0, stride, body, 0)
+        jax.lax.fori_loop(0, stride // 8, body, 0)
 
         @pl.when(c == nch - 1)
         def _():
@@ -120,8 +130,8 @@ def scatter_add_rows(idx, payload, rb: int):
     idx_p = jnp.full((bh, nt_pad), rb_pad, jnp.int32)
     idx_p = jax.lax.dynamic_update_slice(idx_p, idx, (0, 0)).reshape(-1)
 
-    out = _build_call(bh, nt, rb_pad, ch)(
-        idx_p, payload.astype(jnp.float32))
+    out = _build_call(bh, nt, rb_pad, ch,
+                      jnp.dtype(payload.dtype).name)(idx_p, payload)
     return out[:, :rb]
 
 
