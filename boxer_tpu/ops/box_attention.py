@@ -149,20 +149,6 @@ def _take_rows_vjp(stride: int, bh: int, pmajor_p: int = 0, n_b: int = 1):
 
     @jax.custom_vjp
     def take_rows(table, idx):
-        if n_b > 1 and not pmajor_p:
-            # batched inference/training: XLA's vectorized-gather cost grows
-            # with TABLE row count (0.36 ms/161k fetches at <=64k rows but
-            # 1.09 ms at 680k, measured), so split the take per batch item —
-            # each piece indexes only its own (H*stride)-row table slice
-            hs = bh // n_b
-            outs = []
-            for bi in range(n_b):
-                tb = jax.lax.slice_in_dim(
-                    table, bi * hs * stride, (bi + 1) * hs * stride)
-                ib = idx[bi * hs:(bi + 1) * hs] - bi * hs * stride
-                outs.append(jnp.take(tb, ib.reshape(-1), axis=0,
-                                     mode="clip"))
-            return jnp.concatenate(outs, axis=0)
         return jnp.take(table, idx.reshape(-1), axis=0, mode="clip")
 
     def fwd(table, idx):
@@ -224,7 +210,7 @@ def _box_attention_qminor_impl(value, shapes: Shapes, gx, gy, attn_weight):
     gx = gx.reshape(bh, nl, npt, lq).astype(jnp.float32)
     gy = gy.reshape(bh, nl, npt, lq).astype(jnp.float32)
     aw = attn_weight.reshape(bh, nl, npt, lq).astype(jnp.float32)
-    bh_idx = jnp.arange(bh, dtype=jnp.int32)[:, None]
+    h_idx = jnp.arange(nh, dtype=jnp.int32)[:, None]
 
     # One take + fused corner-reduce + accumulate per (level, point) tap.
     # CRITICAL layout/lowering notes (measured on v5e):
@@ -234,42 +220,55 @@ def _box_attention_qminor_impl(value, shapes: Shapes, gx, gy, attn_weight):
     # - per-tap accumulation keeps the whole chain elementwise, so XLA fuses
     #   take -> corner mul -> add without materializing big intermediates;
     # - no stacks/concats of index tensors (they lower to dynamic-update-
-    #   slice copies) and no (bh,lq)-major transposes (tile-crossing copies).
-    out = jnp.zeros((bh * lq, ch), jnp.float32)
-    for li, (hl, wl) in enumerate(shapes):
-        stride = (hl + 1) * (wl + 1)
-        base = bh_idx[:, None] * stride               # (BH, 1, 1)
-        table = tables[li]
-        x = gx[:, li] * wl - 0.5                      # (BH, P, LQ)
-        y = gy[:, li] * hl - 0.5
-        x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
-        lx = x - x0
-        ly = y - y0
-        x0i = x0.astype(jnp.int32)
-        y0i = y0.astype(jnp.int32)
-        # whole-tap validity; the zero border makes edge taps exact
-        valid = ((x0i >= -1) & (x0i <= wl - 1)
-                 & (y0i >= -1) & (y0i <= hl - 1))
-        xq = jnp.clip(x0i + 1, 0, wl)
-        yq = jnp.clip(y0i + 1, 0, hl)
-        idx = base + yq * (wl + 1) + xq
-        w_tap = jnp.where(valid, aw[:, li], 0.0)
+    #   slice copies) and no (bh,lq)-major transposes (tile-crossing copies);
+    # - the whole accumulation runs PER BATCH ITEM with per-b table slices
+    #   (gather cost grows with table row count — 0.36 ms/161k fetches at
+    #   <=64k rows vs 1.09 ms at 680k) and ONE concat at the very end
+    #   (per-take concats lowered to 80 ms/model of dynamic-update-slices
+    #   at bs=4).
+    out_pieces = []
+    for bi in range(b):
+        sl = slice(bi * nh, (bi + 1) * nh)
+        out_b = jnp.zeros((nh * lq, ch), jnp.float32)
+        for li, (hl, wl) in enumerate(shapes):
+            stride = (hl + 1) * (wl + 1)
+            base = h_idx[:, None] * stride            # (H, 1, 1)
+            table = jax.lax.slice_in_dim(
+                tables[li], bi * nh * stride, (bi + 1) * nh * stride)
+            x = gx[sl, li] * wl - 0.5                 # (H, P, LQ)
+            y = gy[sl, li] * hl - 0.5
+            x0 = jnp.floor(x)
+            y0 = jnp.floor(y)
+            lx = x - x0
+            ly = y - y0
+            x0i = x0.astype(jnp.int32)
+            y0i = y0.astype(jnp.int32)
+            # whole-tap validity; the zero border makes edge taps exact
+            valid = ((x0i >= -1) & (x0i <= wl - 1)
+                     & (y0i >= -1) & (y0i <= hl - 1))
+            xq = jnp.clip(x0i + 1, 0, wl)
+            yq = jnp.clip(y0i + 1, 0, hl)
+            idx = base + yq * (wl + 1) + xq
+            w_tap = jnp.where(valid, aw[sl, li], 0.0)
 
-        take = _take_rows_vjp(stride, bh, n_b=b)
-        for p in range(npt):
-            vals = take(table, idx[:, p])
-            w00 = ((1.0 - lx[:, p]) * (1.0 - ly[:, p]) * w_tap[:, p]
-                   ).reshape(-1, 1)
-            w01 = (lx[:, p] * (1.0 - ly[:, p]) * w_tap[:, p]).reshape(-1, 1)
-            w10 = ((1.0 - lx[:, p]) * ly[:, p] * w_tap[:, p]).reshape(-1, 1)
-            w11 = (lx[:, p] * ly[:, p] * w_tap[:, p]).reshape(-1, 1)
-            out = (out
-                   + vals[:, 0 * ch:1 * ch].astype(jnp.float32) * w00
-                   + vals[:, 1 * ch:2 * ch].astype(jnp.float32) * w01
-                   + vals[:, 2 * ch:3 * ch].astype(jnp.float32) * w10
-                   + vals[:, 3 * ch:4 * ch].astype(jnp.float32) * w11)
+            take = _take_rows_vjp(stride, nh)
+            for p in range(npt):
+                vals = take(table, idx[:, p])
+                w00 = ((1.0 - lx[:, p]) * (1.0 - ly[:, p]) * w_tap[:, p]
+                       ).reshape(-1, 1)
+                w01 = (lx[:, p] * (1.0 - ly[:, p]) * w_tap[:, p]
+                       ).reshape(-1, 1)
+                w10 = ((1.0 - lx[:, p]) * ly[:, p] * w_tap[:, p]
+                       ).reshape(-1, 1)
+                w11 = (lx[:, p] * ly[:, p] * w_tap[:, p]).reshape(-1, 1)
+                out_b = (out_b
+                         + vals[:, 0 * ch:1 * ch].astype(jnp.float32) * w00
+                         + vals[:, 1 * ch:2 * ch].astype(jnp.float32) * w01
+                         + vals[:, 2 * ch:3 * ch].astype(jnp.float32) * w10
+                         + vals[:, 3 * ch:4 * ch].astype(jnp.float32) * w11)
+        out_pieces.append(out_b)
 
+    out = out_pieces[0] if b == 1 else jnp.concatenate(out_pieces, axis=0)
     return out.astype(value.dtype).reshape(b, nh, lq, ch)
 
 
