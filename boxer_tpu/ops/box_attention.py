@@ -233,8 +233,8 @@ def _box_attention_qminor_impl(value, shapes: Shapes, gx, gy, attn_weight):
         for li, (hl, wl) in enumerate(shapes):
             stride = (hl + 1) * (wl + 1)
             base = h_idx[:, None] * stride            # (H, 1, 1)
-            table = jax.lax.slice_in_dim(
-                tables[li], bi * nh * stride, (bi + 1) * nh * stride)
+            table = (tables[li] if b == 1 else jax.lax.slice_in_dim(
+                tables[li], bi * nh * stride, (bi + 1) * nh * stride))
             x = gx[sl, li] * wl - 0.5                 # (H, P, LQ)
             y = gy[sl, li] * hl - 0.5
             x0 = jnp.floor(x)

@@ -215,11 +215,11 @@ class BaseTrainer:
                          if hasattr(sched_cfg, "to_dict") else dict(sched_cfg))
             # epoch-clock schedulers (reference `lr_scheduler.py:108-144`)
             # need the epoch length in update steps
-            params = dict(sched_cfg.get("params", {}))
+            sched_params = dict(sched_cfg.get("params", {}))
             if "train" in getattr(self, "loaders", {}):
-                params["_steps_per_epoch"] = max(
+                sched_params["_steps_per_epoch"] = max(
                     1, len(self.loaders["train"]))
-            sched_cfg["params"] = params
+            sched_cfg["params"] = sched_params
             self.schedule = build_schedule(sched_cfg, base_lr)
         else:
             self.schedule = None
