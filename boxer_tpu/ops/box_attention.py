@@ -493,11 +493,22 @@ _BOX_ATTN_IMPL = {"default": "xla"}
 
 
 def set_box_attention_impl(name: str):
-    """"xla" (default, the tuned quad-table formulation) — kept for surface
-    compatibility; the former "pallas" option was retired after measurement
-    showed Mosaic cannot express the wide dynamic gather (see docs)."""
-    assert name == "xla"
+    """Select the backward implementation:
+
+    - "xla" (default): XLA AD with the d_value scatter replaced by the
+      Pallas accumulate kernel (via the custom-VJP take);
+    - "analytic_vjp": the fully hand-written analytic backward
+      (`_box_attention_vjp`), numerics-pinned to the reference CUDA chain —
+      kept for debugging/verification (measured slower end-to-end).
+
+    The former "pallas" forward option was retired after measurement showed
+    Mosaic cannot express the wide dynamic forward gather (see docs); the
+    Pallas kernel lives in the backward scatter instead.
+    """
+    global _USE_CUSTOM_VJP
+    assert name in ("xla", "analytic_vjp"), name
     _BOX_ATTN_IMPL["default"] = name
+    _USE_CUSTOM_VJP = name == "analytic_vjp"
 
 
 def get_box_attention_impl() -> str:

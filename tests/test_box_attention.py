@@ -206,6 +206,31 @@ def test_instance_attention_backward_parity(ch):
                                    rtol=1e-2, atol=tol)
 
 
+def test_backward_impl_switch():
+    """set_box_attention_impl selects the analytic VJP; both backends give
+    the same gradients."""
+    from boxer_tpu.ops.box_attention import (
+        get_box_attention_impl, set_box_attention_impl)
+
+    value, loc, weight = _rand_inputs(16, p=4)
+    args = (jnp.asarray(value, jnp.float32), jnp.asarray(loc, jnp.float32),
+            jnp.asarray(weight, jnp.float32))
+
+    def f(v, l, w):
+        return box_attention(v, SHAPES, l, w).sum()
+
+    g_ad = jax.grad(f, argnums=(0, 1, 2))(*args)
+    assert get_box_attention_impl() == "xla"
+    set_box_attention_impl("analytic_vjp")
+    try:
+        g_an = jax.grad(f, argnums=(0, 1, 2))(*args)
+    finally:
+        set_box_attention_impl("xla")
+    for a, b in zip(g_ad, g_an):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+
+
 def test_grid_sample_parity():
     """Our bilinear matches torch grid_sample(align_corners=False) incl. OOB."""
     from boxer_tpu.utils.general import grid_sample_nhwc
