@@ -29,7 +29,13 @@ def build(args):
     configuration = Configuration(config_path=args.config, opts=args.opts,
                                   extra=extra)
     config = configuration.get_config()
-    model_cfg = config.model_config[args.model]
+    try:
+        model_cfg = config.model_config[args.model]
+    except KeyError:
+        raise SystemExit(
+            f"model_config.{args.model} not found — pass --config "
+            "<experiment yaml> (e.g. boxer_tpu/config/COCO-Detection/"
+            "boxer2d_r50_3x.yaml)")
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     model = build_model(model_cfg, args.num_classes, dtype=dtype)
 
