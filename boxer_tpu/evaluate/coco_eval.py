@@ -272,6 +272,27 @@ class COCOEval:
         return self.stats
 
 
+def merge_gathered_results(parts, iou_types):
+    """Merge per-host (img_ids, results) shards, keeping only the FIRST
+    host's records for any image that appears on several hosts (sampler
+    padding duplicates). Keeping every gathered record would evaluate the
+    duplicate images twice and depress AP with phantom false positives
+    (reference dedupes its evalImgs identically,
+    `e2edet/evaluate/coco_eval.py:175-205`)."""
+    seen = set()
+    keep_ids: List[int] = []
+    merged: Dict[str, List[Dict]] = {t: [] for t in iou_types}
+    for part_ids, part_res in parts:
+        fresh = [i for i in part_ids if i not in seen]
+        fresh_set = set(fresh)
+        seen.update(fresh)
+        keep_ids.extend(fresh)
+        for t in iou_types:
+            merged[t].extend(r for r in part_res.get(t, [])
+                             if r["image_id"] in fresh_set)
+    return keep_ids, merged
+
+
 class CocoEvaluator:
     """Streaming evaluator over eval batches (reference `CocoEvaluator`
     surface, `evaluate/coco_eval.py:29-67`)."""
@@ -284,33 +305,28 @@ class CocoEvaluator:
 
     def update(self, records_per_type: Dict[str, List[Dict]],
                img_ids: List[int]):
-        self.img_ids.extend(img_ids)
+        # sampler padding can revisit an image on the same host; keep the
+        # first evaluation only (reference dedupes evalImgs the same way,
+        # `evaluate/coco_eval.py:175-205`)
+        seen = set(self.img_ids)
+        fresh = [i for i in img_ids if i not in seen]
+        fresh_set = set(fresh)
+        self.img_ids.extend(fresh)
         for t in self.iou_types:
-            self.results[t].extend(records_per_type.get(t, []))
+            self.results[t].extend(
+                r for r in records_per_type.get(t, [])
+                if r["image_id"] in fresh_set)
 
     def synchronize_between_processes(self):
         import jax
 
         if jax.process_count() == 1:
             return
-        from jax.experimental import multihost_utils
+        from boxer_tpu.parallel.distributed import all_gather
 
-        gathered = multihost_utils.process_allgather(
-            (self.img_ids, self.results))
-        ids, res = [], {t: [] for t in self.iou_types}
-        for part_ids, part_res in zip(*gathered):
-            ids.extend(part_ids)
-            for t in self.iou_types:
-                res[t].extend(part_res[t])
-        # dedupe repeated images (sampler padding), keep first
-        seen = set()
-        keep = []
-        for i in ids:
-            if i not in seen:
-                seen.add(i)
-                keep.append(i)
-        self.img_ids = keep
-        self.results = res
+        parts = all_gather((self.img_ids, self.results))
+        self.img_ids, self.results = merge_gathered_results(
+            parts, self.iou_types)
 
     def accumulate_and_summarize(self, verbose: bool = True) -> Dict[str, np.ndarray]:
         stats = {}

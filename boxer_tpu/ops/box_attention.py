@@ -132,7 +132,7 @@ def _build_quad_tables(value, shapes):
 
 
 @functools.lru_cache(maxsize=None)
-def _take_rows_vjp(stride: int, bh: int, pmajor_p: int = 0, n_b: int = 1):
+def _take_rows_vjp(stride: int, bh: int, pmajor_p: int = 0):
     """`jnp.take` of quad-table rows with a Pallas-backed d_table scatter.
 
     Surgical custom VJP: the forward is exactly the vectorized take (fast on

@@ -85,10 +85,25 @@ def optimizer_state_shardings(mesh: Mesh, opt_state, zero1: bool = True) -> Any:
     return jax.tree_util.tree_map_with_path(spec, opt_state)
 
 
+# Set by `expect_sequence_parallel` when the trainer builds an sp>1 mesh;
+# makes a failed seq_constraint a hard error instead of a silent no-op.
+_SP_EXPECTED = False
+
+
+def expect_sequence_parallel(enabled: bool = True):
+    """Declare that sequence parallelism is configured (sp > 1). After this,
+    `seq_constraint` failing to apply (no active mesh context at trace time)
+    raises instead of silently training unsharded."""
+    global _SP_EXPECTED
+    _SP_EXPECTED = bool(enabled)
+
+
 def seq_constraint(x, token_axis: int = 1):
     """Shard a (..., S, ...) token-axis tensor over the ``sp`` mesh axis
     (batch over dp). Requires an active mesh context at trace time
-    (`with mesh:` around the jit call); no-op outside one.
+    (`with mesh:` around the jit call); no-op outside one — unless
+    `expect_sequence_parallel(True)` was declared, in which case a missing
+    mesh context is a hard error (silent unsharded training is a trap).
 
     This is the SURVEY §5 long-context design addition: the ~20k-token
     flattened multi-scale sequence is sharded for every elementwise /
@@ -101,7 +116,13 @@ def seq_constraint(x, token_axis: int = 1):
     spec[token_axis] = "sp"
     try:
         return jax.lax.with_sharding_constraint(x, P(*spec))
-    except (ValueError, RuntimeError, AssertionError):
+    except (ValueError, RuntimeError, AssertionError) as e:
+        if _SP_EXPECTED:
+            raise RuntimeError(
+                "seq_constraint could not apply the sp sharding (no active "
+                "mesh context at trace time?) but sequence parallelism was "
+                "configured — refusing to trace an unsharded step. Wrap the "
+                f"jit call in `with mesh:`. Original error: {e}") from e
         return x
 
 

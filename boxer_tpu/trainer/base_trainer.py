@@ -84,6 +84,10 @@ class BaseTrainer:
         dp = dist.get("dp")
         self.mesh = create_mesh(dp=dp, mp=mp, sp=sp)
         self.seq_shard = sp > 1
+        if self.seq_shard:
+            from boxer_tpu.parallel.sharding import expect_sequence_parallel
+
+            expect_sequence_parallel(True)
         set_default_mesh(self.mesh)
         self.zero1 = bool(dist.get("zero1", True))
         self.logger.info(

@@ -149,8 +149,10 @@ def evaluate(split: str, trainer):
         else:
             out, _ = trainer._eval_step(trainer.state, squeezed)
         out_np = jax.tree_util.tree_map(np.asarray, _strip_aux(out))
+        # one postprocessing pass serves both iou types: the bbox records
+        # just drop the rles (the mask paste is the expensive part)
         preds = dataset.format_for_evalai(
-            out_np, meta, return_rles=("segm" in iou_types and is_test))
+            out_np, meta, return_rles=("segm" in iou_types))
         n_batches += 1
 
         if is_test:
@@ -160,9 +162,7 @@ def evaluate(split: str, trainer):
             records["bbox"] = dataset.prepare_for_evaluation(
                 _drop_rles(preds))
             if "segm" in iou_types:
-                seg_preds = dataset.format_for_evalai(
-                    out_np, meta, return_rles=True)
-                records["segm"] = dataset.prepare_for_evaluation(seg_preds)
+                records["segm"] = dataset.prepare_for_evaluation(preds)
             evaluator.update(records, [m["image_id"] for m in meta])
 
     dt = time.perf_counter() - t0

@@ -178,22 +178,35 @@ def port_boxer2d_state_dict(
                     sd[f"{prefix}.bbox_embed.layers.{j}.weight"],
                     sd[f"{prefix}.bbox_embed.layers.{j}.bias"])
             j += 1
-        # mask head (SegmentMLP), use_mask checkpoints only
-        for k in list(sd):
-            if k.startswith(prefix + ".mask_embed."):
-                rest = k[len(prefix + ".mask_embed."):]
-                mpath = dst_path + ("mask_embed",) + tuple(rest.split(".")[:-1])
-                leaf = rest.split(".")[-1]
-                arr = sd[k]
-                if leaf == "weight" and arr.ndim == 4:
-                    # ConvTranspose2d (I, O, kH, kW) -> flax (kH, kW, I, O)
-                    _put(params, mpath + ("kernel",),
-                         np.transpose(arr, (2, 3, 0, 1)))
-                elif leaf == "weight" and arr.ndim == 2:
-                    _put(params, mpath + ("kernel",), np.transpose(arr))
-                else:
-                    _put(params, mpath + ("bias" if leaf == "bias" else leaf,),
-                         arr)
+        # mask head (SegmentMLP), use_mask checkpoints only. Torch structure
+        # (reference `predictor.py:25-54`): layers.0.0 = ConvTranspose2d 2x2
+        # upsample, layers.{1..n-1}.0 = hidden 1x1 Conv2d (+ReLU), layers.n =
+        # output 1x1 Conv2d. Flax names: upsample / conv{i} / proj.
+        mk = prefix + ".mask_embed.layers."
+        layer_ids = sorted({int(k[len(mk):].split(".")[0])
+                            for k in sd if k.startswith(mk)})
+        for li in layer_ids:
+            if li == 0:
+                src, name = f"{mk}0.0", "upsample"
+                # ConvTranspose2d (I, O, kH, kW) -> flax (kH, kW, I, O);
+                # torch's ConvTranspose2d correlates with the kernel while
+                # flax's ConvTranspose does NOT flip it — spatially reverse
+                # kH/kW for equivalence (else each 2x2 output block is
+                # mirrored, caught by the mask parity test)
+                perm = (2, 3, 0, 1)
+            elif li == layer_ids[-1]:
+                src, name = f"{mk}{li}", "proj"
+                # Conv2d (O, I, kH, kW) -> flax (kH, kW, I, O)
+                perm = (2, 3, 1, 0)
+            else:
+                src, name = f"{mk}{li}.0", f"conv{li - 1}"
+                perm = (2, 3, 1, 0)
+            mpath = dst_path + ("mask_embed", name)
+            w = np.transpose(sd[src + ".weight"], perm)
+            if li == 0:
+                w = w[::-1, ::-1]
+            _put(params, mpath + ("kernel",), np.ascontiguousarray(w))
+            _put(params, mpath + ("bias",), sd[src + ".bias"])
 
     # ---- input projections ----
     i = 0

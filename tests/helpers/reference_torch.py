@@ -143,11 +143,12 @@ def _patch_plain_ops():
                         2.0 * loc - 1.0, weight)
         return out
 
-    def inst_apply(value, shapes, start_idx, loc, spatial_w, level_w, step):
+    def inst_apply(value, shapes, start_idx, loc, spatial_w, level_w,
+                   kernel_size, step):
         b, s, h, ch = value.shape
-        k = spatial_w.shape[-1]
         out, mask_out = plain_inst(value.reshape(b, s, h * ch), shapes,
-                                   2.0 * loc - 1.0, spatial_w, level_w, k)
+                                   2.0 * loc - 1.0, spatial_w, level_w,
+                                   kernel_size)
         return out, mask_out
 
     baf.BoxAttnFunction.apply = staticmethod(box_apply)

@@ -178,3 +178,41 @@ def test_dataset_pipeline_roundtrip(synthetic_coco_dir):
     # still be ~1 at the standard thresholds
     assert stats[0] > 0.85, stats
     assert stats[1] == pytest.approx(1.0, abs=0.01)
+
+
+def test_merge_gathered_results_drops_padding_duplicates():
+    """Multi-host eval merge: records for sampler-padding duplicate images
+    must be dropped (first host wins), else duplicate detections are
+    evaluated twice and depress AP (reference dedupe:
+    e2edet/evaluate/coco_eval.py:175-205)."""
+    from boxer_tpu.evaluate.coco_eval import merge_gathered_results
+
+    def rec(img, score):
+        return {"image_id": img, "category_id": 1,
+                "bbox": [0, 0, 10, 10], "score": score}
+
+    # host 0 saw images 1, 2; host 1 saw 3 and padding-duplicate 2
+    host0 = ([1, 2], {"bbox": [rec(1, 0.9), rec(2, 0.8)],
+                      "segm": [rec(1, 0.9)]})
+    host1 = ([3, 2], {"bbox": [rec(3, 0.7), rec(2, 0.8)],
+                      "segm": [rec(2, 0.5)]})
+
+    ids, merged = merge_gathered_results([host0, host1], ("bbox", "segm"))
+    assert ids == [1, 2, 3]
+    assert [r["image_id"] for r in merged["bbox"]] == [1, 2, 3]
+    # host1's duplicate image-2 bbox record dropped; its segm record for
+    # image 2 is also dropped (image 2 was first seen on host 0)
+    assert [r["image_id"] for r in merged["segm"]] == [1]
+
+
+def test_evaluator_update_dedupes_within_host():
+    """Same-host padding revisit of an image keeps the first evaluation."""
+    from boxer_tpu.evaluate.coco_eval import CocoEvaluator
+
+    ev = CocoEvaluator(coco_gt=None, iou_types=("bbox",))
+    ev.update({"bbox": [{"image_id": 5, "score": 0.9}]}, [5])
+    ev.update({"bbox": [{"image_id": 5, "score": 0.1},
+                        {"image_id": 6, "score": 0.4}]}, [5, 6])
+    assert ev.img_ids == [5, 6]
+    assert [(r["image_id"], r["score"]) for r in ev.results["bbox"]] == [
+        (5, 0.9), (6, 0.4)]

@@ -28,3 +28,24 @@ def test_seq_constraint_is_noop_without_mesh():
     x = jnp.ones((2, 16, 8))
     y = seq_constraint(x)
     assert y.shape == x.shape
+
+
+def test_seq_constraint_fails_loudly_when_sp_expected():
+    """With sequence parallelism declared, a seq_constraint outside a mesh
+    context must raise instead of silently tracing an unsharded step
+    (VERDICT r2 weak #8)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from boxer_tpu.parallel import sharding
+
+    x = jnp.zeros((2, 16, 4))
+    # outside a mesh context, default: silent passthrough
+    assert sharding.seq_constraint(x) is x
+
+    sharding.expect_sequence_parallel(True)
+    try:
+        with pytest.raises(RuntimeError, match="sequence parallelism"):
+            sharding.seq_constraint(x)
+    finally:
+        sharding.expect_sequence_parallel(False)
