@@ -97,14 +97,22 @@ class DataLoader:
             def split(x):
                 return x[None] if isinstance(x, np.ndarray) else x
         else:
-            if "voxels" in batch:
-                raise NotImplementedError(
-                    "iter_per_update > 1 for voxel batches requires "
-                    "per-sample voxel capacity splitting")
+            # voxel batches: every sample occupies a fixed max_voxel_num
+            # block (pad_voxels), so the (B*MV, ...) arrays split evenly
+            # into (A, MB*MV, ...); the batch prefix in coordinates is
+            # remapped from the global sample index to the within-microbatch
+            # index (padding rows keep -1). Reference split semantics:
+            # `collate_fn.py:115-196`.
+            nvox = (batch["voxels"].shape[0] // self.batch_size
+                    if "voxels" in batch else 0)
 
             def split(x):
-                if isinstance(x, np.ndarray) and x.shape[0] == self.batch_size:
+                if not isinstance(x, np.ndarray):
+                    return x
+                if x.shape[0] == self.batch_size:
                     return x.reshape((a, mb) + x.shape[1:])
+                if nvox and x.shape[0] == self.batch_size * nvox:
+                    return x.reshape((a, mb * nvox) + x.shape[1:])
                 return x
 
         out = {}
@@ -115,4 +123,9 @@ class DataLoader:
                 out[k] = {kk: split(vv) for kk, vv in v.items()}
             else:
                 out[k] = split(v)
+        if a > 1 and "coordinates" in out:
+            c = out["coordinates"]
+            out["coordinates"] = np.concatenate(
+                [np.where(c[..., :1] >= 0, c[..., :1] % mb, -1), c[..., 1:]],
+                axis=-1)
         return out

@@ -26,6 +26,17 @@ import jax.numpy as jnp
 
 from boxer_tpu.nn.attention import BoxAttention, InstanceAttention
 from boxer_tpu.nn.predictor import Detector, NEG_INF
+
+def _enc_unroll() -> int:
+    """lax.scan unroll factor for the encoder layer stack. 1 (default) keeps
+    the compact while-loop (fast compile); the full layer count trades
+    compile time for scheduling freedom. Env knob BOXER_ENC_UNROLL for perf
+    experiments."""
+    import os
+
+    return int(os.environ.get("BOXER_ENC_UNROLL", "1"))
+
+
 from boxer_tpu.utils.general import (
     flatten_with_shape,
     get_proposal_pos_embed,
@@ -288,6 +299,7 @@ class BoxTransformer(nn.Module):
             split_rngs={"params": True, "dropout": True},
             in_axes=nn.broadcast,
             length=self.num_encoder_layers,
+            unroll=_enc_unroll(),
         )
         output, _ = ScannedEncoder(
             self.d_model, self.nhead, self.nlevel, self.dim_feedforward,

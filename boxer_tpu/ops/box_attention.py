@@ -366,6 +366,11 @@ def _box_attention_qminor_folded(value, shapes: Shapes, gx, gy, attn_weight):
 # L*P tiny gathers, which the encoder doesn't have)
 _FOLD_TAP_THRESHOLD = 8
 
+import os as _os
+
+if "BOXER_FOLD_THRESHOLD" in _os.environ:        # perf-experiment override
+    _FOLD_TAP_THRESHOLD = int(_os.environ["BOXER_FOLD_THRESHOLD"])
+
 
 def box_attention(value, shapes: Shapes, sampling_loc, attn_weight):
     """Multi-scale deformable box attention (reference-contract wrapper).

@@ -167,10 +167,15 @@ class BaseTrainer:
         # init params on a representative input (2D canvas or 3D voxel batch)
         ds = next(iter(self.datasets.values()))
         self.static_batch = None
+        self.static_batch_train = None
         if hasattr(ds, "grid_shape"):
             bs = int(rc.get("batch_size", 16)) // max(jax.process_count(), 1)
             self.static_batch = {"grid_shape": ds.grid_shape,
                                  "batch_size": bs}
+            # train microbatches carry bs/ipu samples each (grad accumulation
+            # splits the voxel capacity per sample, loader.py)
+            self.static_batch_train = {"grid_shape": ds.grid_shape,
+                                       "batch_size": max(1, bs // ipu)}
             v = jnp.zeros((8, 20, 5), jnp.float32)
             c = jnp.zeros((8, 4), jnp.int32)
             npv = jnp.ones((8,), jnp.int32)
@@ -266,7 +271,7 @@ class BaseTrainer:
         self._train_step = with_mesh(jax.jit(
             make_train_step(self.model, self.criterion, self.tx,
                             max_norm=max_norm, iter_per_update=ipu,
-                            static=self.static_batch, metrics=metrics),
+                            static=self.static_batch_train, metrics=metrics),
             out_shardings=(self.state_shardings, None), donate_argnums=(0,)))
         self._eval_step = with_mesh(jax.jit(
             make_eval_step(self.model, self.criterion,

@@ -196,7 +196,11 @@ def test_waymo_offline_eval_perfect_predictions(waymo_root):
             "difficulty": np.zeros(len(boxes), np.int64),
             "num_points_in_gt": info["num_points_in_gt"],
         }
-    metrics = evaluate_results(results)
+    # envelope AP mode: all scores are 1.0, so the official cutoff
+    # integrator sees a single operating point and (correctly) caps the one
+    # recall jump at desired_recall_delta; the envelope estimator verifies
+    # the matching plumbing round-trips to AP 1.0
+    metrics = evaluate_results(results, ap_mode="envelope")
     assert metrics, "no metrics computed"
     for k, v in metrics.items():
         assert v == pytest.approx(1.0, abs=1e-6), (k, v)
@@ -278,3 +282,83 @@ def test_waymo_trainer_end_to_end(waymo_root, tmp_path):
     trainer.train()
     assert trainer.current_update == 2
     assert os.path.exists(os.path.join(save, "results.pkl"))
+
+
+def test_waymo_grad_accum_step(waymo_root):
+    """iter_per_update=2 voxel microbatch split (VERDICT r2 #6): the loader
+    reshapes the fixed per-sample voxel capacity into (A, MB*MV, ...) with
+    within-microbatch batch prefixes, and the scan train step consumes it.
+    Reference split: `collate_fn.py:115-196`."""
+    from boxer_tpu.criterion.losses import Boxer3DCriterion
+    from boxer_tpu.dataset.helper.loader import DataLoader
+    from boxer_tpu.models.boxer3d import BoxeR3D
+    from boxer_tpu.nn.matcher import HungarianMatcher3d
+    from boxer_tpu.optim import build_optimizer
+    from boxer_tpu.parallel.steps import create_train_state, make_train_step
+
+    task = _task(waymo_root)
+    rng = np.random.RandomState(0)
+    items = [task.load(i, rng) for i in range(2)]
+    batch = task.collate(items)
+
+    dl = DataLoader(task, sampler=None, batch_size=2, iter_per_update=2)
+    split = dl._reshape_microbatches(dict(batch))
+    mv = 512
+    assert split["voxels"].shape[:2] == (2, mv)
+    assert split["coordinates"].shape[:2] == (2, mv)
+    # each microbatch's live coords are renumbered to batch index 0
+    for a in range(2):
+        live = split["coordinates"][a][:, 0] >= 0
+        assert live.any()
+        assert (split["coordinates"][a][live, 0] == 0).all()
+    assert split["targets"]["boxes"].shape == (2, 1, 10, 7)
+
+    model = BoxeR3D(
+        num_classes=5, hidden_dim=32, nhead=8, num_level=2,
+        enc_layers=1, dec_layers=1, dim_feedforward=64, num_queries=16,
+        backbone_cfg=tuple(sorted({
+            "type": "pointpillar",
+            "params.hidden_dim": 32,
+            "params.position_encoding": "fixed",
+            "params.ref_size": 4,
+            "params.return_layers": 2,
+            "params.reader.num_input_features": 5,
+            "params.reader.num_filters": (16, 32),
+            "params.reader.voxel_size": tuple(VOXEL_SIZE),
+            "params.reader.pc_range": tuple(PC_RANGE),
+            "params.extractor.num_input_features": 32,
+            "params.neck.num_layers": (1, 1, 1),
+            "params.neck.ds_strides": (1, 2, 2),
+            "params.neck.ds_filters": (32, 64, 64),
+        }.items())))
+    grid = task.grid_shape
+    static = {"grid_shape": grid, "batch_size": 1}  # 1 sample/microbatch
+
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(split["voxels"][0]),
+        jnp.asarray(split["coordinates"][0]),
+        jnp.asarray(split["num_points_per_voxel"][0]), grid, 1, train=False)
+
+    matcher = HungarianMatcher3d(2, 5, 2, 4)
+    criterion = Boxer3DCriterion(
+        5, matcher,
+        {"loss_ce": 2.0, "loss_bbox": 5.0, "loss_giou": 2.0, "loss_rad": 4.0},
+        ["boxes", "focal_labels"])
+    tx, _ = build_optimizer(
+        {"type": "adamw", "params": {"lr": 1e-4, "weight_decay": 1e-4}},
+        variables["params"])
+    state = create_train_state(variables["params"],
+                               variables.get("constants"), tx)
+    step = jax.jit(make_train_step(model, criterion, tx, max_norm=1.0,
+                                   iter_per_update=2, static=static))
+
+    device_batch = {
+        "voxels": jnp.asarray(split["voxels"]),
+        "coordinates": jnp.asarray(split["coordinates"]),
+        "num_points_per_voxel": jnp.asarray(split["num_points_per_voxel"]),
+        "targets": jax.tree_util.tree_map(jnp.asarray, split["targets"]),
+    }
+    for i in range(2):
+        state, stats = step(state, device_batch, jax.random.PRNGKey(i))
+        assert np.isfinite(float(stats["total_loss"]))
+    assert int(state.step) == 2

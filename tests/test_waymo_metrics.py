@@ -120,7 +120,7 @@ def test_evaluate_results_perfect_and_fp():
         "f1": _scene(gt, [0.9, 0.8], gt),
         "f2": _scene(gt + [_box(30, 30, 4, 2, 0.0)], [0.9, 0.8, 0.1], gt),
     }
-    m = evaluate_results(results)
+    m = evaluate_results(results, matching="greedy", ap_mode="envelope")
     # all 4 gts found before the single lowest-score fp -> AP stays 1.0
     np.testing.assert_allclose(m["VEHICLE_LEVEL_1_AP"], 1.0, atol=1e-6)
     np.testing.assert_allclose(m["VEHICLE_LEVEL_2_AP"], 1.0, atol=1e-6)
@@ -132,7 +132,7 @@ def test_evaluate_results_distance_cap_and_levels():
     gt = [_box(0, 0, 4, 2, 0.0), _box(120, 0, 4, 2, 0.0),
           _box(10, 0, 4, 2, 0.0)]
     results = {"f": _scene(gt, [0.9, 0.8, 0.7], gt, num_pts=[50, 50, 3])}
-    m = evaluate_results(results)
+    m = evaluate_results(results, matching="greedy", ap_mode="envelope")
     # LEVEL_1 bucket: only the 50-point in-range gt counts; its det matches.
     # The 3-point gt's det is a LEVEL_2 match, excluded from the L1 ranking.
     np.testing.assert_allclose(m["VEHICLE_LEVEL_1_AP"], 1.0, atol=1e-6)
@@ -147,6 +147,82 @@ def test_evaluate_results_greedy_matching_duplicate_dets():
     gt = [_box(0, 0, 4, 2, 0.0)]
     dts = [_box(0, 0, 4, 2, 0.0), _box(0.2, 0, 4, 2, 0.0)]
     results = {"f": _scene(dts, [0.9, 0.8], gt)}
-    m = evaluate_results(results)
+    m = evaluate_results(results, matching="greedy", ap_mode="envelope")
     # tp at rank 1 -> recall hits 1.0 at precision 1.0; AP = 1.0
     np.testing.assert_allclose(m["VEHICLE_LEVEL_1_AP"], 1.0, atol=1e-6)
+
+
+def test_iou3d_z_overlap():
+    from boxer_tpu.evaluate.waymo_eval import iou3d
+
+    a = np.array([[0, 0, 0.0, 4, 2, 2, 0.0]])
+    # identical box -> 1; half z-overlap -> inter = 8*1, union = 16+16-8
+    b = np.array([[0, 0, 1.0, 4, 2, 2, 0.0]])
+    np.testing.assert_allclose(iou3d(a, a)[0, 0], 1.0, atol=1e-6)
+    np.testing.assert_allclose(iou3d(a, b)[0, 0], 8.0 / 24.0, atol=1e-6)
+    # disjoint z
+    c = np.array([[0, 0, 5.0, 4, 2, 2, 0.0]])
+    assert iou3d(a, c)[0, 0] == 0.0
+
+
+def test_hungarian_beats_greedy_on_competing_dets():
+    """Two detections overlap two GTs; the high-score det overlaps BOTH
+    (best IoU on gt0), the low-score det ONLY gt0. Greedy gives det0->gt0
+    and leaves det1 unmatched (fp). Hungarian maximizes total IoU:
+    det0->gt1, det1->gt0 — both tp."""
+    from boxer_tpu.evaluate.waymo_eval import hungarian_match
+
+    # iou matrix rows=dets (score-ordered), cols=gts
+    ious = np.array([[0.8, 0.6],
+                     [0.7, 0.0]])
+    m = hungarian_match(ious, thr=0.5)
+    np.testing.assert_array_equal(m, [1, 0])
+
+    # and through evaluate_results: axis-aligned boxes constructed to give
+    # the same structure. gt0 at x=0, gt1 at x=3 (l=4 -> overlap windows).
+    def bx(x, l):
+        return [x, 0.0, 0.0, l, 2.0, 2.0, 0.0]
+
+    # 1-D overlap of two l=4 boxes at center distance d: iou = (4-d)/(4+d).
+    # gt0 at 0, gt1 at 1.2; det0 at 0.55 (iou .758 to gt0, .72 to gt1 — both
+    # above thr, prefers gt0), det1 at -0.2 (iou .684 to gt0, .481 to gt1 —
+    # only gt0 clears thr). Greedy: det0->gt0, det1 stranded (fp).
+    # Hungarian: det0->gt1 + det1->gt0 (total 1.404 > 0.758) — both tp.
+    gt = [bx(0, 4), bx(1.2, 4)]
+    dts = [bx(0.55, 4), bx(-0.2, 4)]
+    results = {"f": {
+        "pred_boxes3d": np.asarray(dts, np.float32),
+        "pred_scores": np.asarray([0.9, 0.6], np.float32),
+        "pred_labels": np.full(2, 2, np.int64),      # PEDESTRIAN thr 0.5
+        "boxes3d": np.asarray(gt, np.float32),
+        "labels": np.full(2, 2, np.int64),
+        "difficulty": np.zeros(2, np.int64),
+        "num_points_in_gt": np.full(2, 50),
+    }}
+    m_h = evaluate_results(results, matching="hungarian", ap_mode="envelope")
+    m_g = evaluate_results(results, matching="greedy", ap_mode="envelope",
+                           iou_fn=None)
+    assert m_h["PEDESTRIAN_LEVEL_1_AP"] > m_g["PEDESTRIAN_LEVEL_1_AP"]
+    np.testing.assert_allclose(m_h["PEDESTRIAN_LEVEL_1_AP"], 1.0, atol=1e-6)
+
+
+def test_compute_ap_cutoffs_recall_delta_cap():
+    """Official-style AP: each recall step contributes at most
+    desired_recall_delta of recall mass — a detector emitting one giant
+    recall jump is capped at 0.05."""
+    from boxer_tpu.evaluate.waymo_eval import SCORE_CUTOFFS, compute_ap_cutoffs
+
+    nc = len(SCORE_CUTOFFS)
+    # 10 gts; all 10 dets at score 0.9, all tp: recall jumps 0 -> 1.0 at
+    # cutoff 0.9 with precision 1 -> AP = min(1.0, 0.05) = 0.05
+    tp_at = np.array([10.0 if c <= 0.9 else 0.0 for c in SCORE_CUTOFFS])
+    fp_at = np.zeros(nc)
+    np.testing.assert_allclose(
+        compute_ap_cutoffs(tp_at, fp_at, 10), 0.05, atol=1e-9)
+
+    # smooth detector: one extra tp per cutoff step over 100 cutoffs ->
+    # every step 0.01 <= 0.05, precision 1 -> AP = 1.0
+    tp_at = np.array([min(100.0, np.floor((1.0 - c) * 100)) for c in
+                      SCORE_CUTOFFS])
+    np.testing.assert_allclose(
+        compute_ap_cutoffs(tp_at, np.zeros(nc), 100), 1.0, atol=1e-6)
