@@ -245,3 +245,72 @@ def test_grid_sample_parity():
     ref = F.grid_sample(timg, tgrid, align_corners=False)
     ref = ref.squeeze(-1).permute(0, 2, 1).numpy()
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-5)
+
+
+# Wide-channel backward sweep mirroring the reference's large-channel
+# gradchecks (`tests/box_attn_test.py:194` includes 1025/2048/3096): multi-
+# 128-lane quad-table rows (4*ch >> 128) and a non-multiple-of-128 width.
+@pytest.mark.slow
+@pytest.mark.parametrize("ch,p", [(256, 4), (256, 16), (1024, 4), (774, 4)])
+def test_box_attention_backward_wide_channels(ch, p):
+    value, loc, weight = _rand_inputs(ch, p=p)
+
+    def f(v, l, w):
+        return box_attention(v, SHAPES, l, w).sum()
+
+    gv, gl, gw = jax.grad(f, argnums=(0, 1, 2))(
+        jnp.asarray(value, jnp.float32),
+        jnp.asarray(loc, jnp.float32),
+        jnp.asarray(weight, jnp.float32),
+    )
+    tv = torch.from_numpy(value).requires_grad_(True)
+    tl = torch.from_numpy(loc).requires_grad_(True)
+    tw = torch.from_numpy(weight).requires_grad_(True)
+    torch_box_attn_oracle(tv, tl, tw, SHAPES).sum().backward()
+    np.testing.assert_allclose(np.asarray(gv), tv.grad.numpy(), rtol=1e-2,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw), tw.grad.numpy(), rtol=1e-2,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gl), tl.grad.numpy(), rtol=1e-2,
+                               atol=1e-3)
+
+
+@pytest.mark.parametrize("ch", [32, 256])
+def test_box_attention_bf16_forward_tolerance(ch):
+    """bf16 inputs (the production inference dtype) stay within bf16 noise
+    of the f64 oracle (reference float-tolerance check,
+    `tests/box_attn_test.py:55-93`)."""
+    value, loc, weight = _rand_inputs(ch, p=4)
+    out = box_attention(
+        jnp.asarray(value, jnp.bfloat16),
+        SHAPES,
+        jnp.asarray(loc, jnp.bfloat16),
+        jnp.asarray(weight, jnp.bfloat16),
+    )
+    ref = torch_box_attn_oracle(
+        torch.from_numpy(value), torch.from_numpy(loc),
+        torch.from_numpy(weight), SHAPES).numpy()
+    scale = np.abs(ref).max()
+    err = np.abs(np.asarray(out, np.float32) - ref).max()
+    assert err <= 0.03 * scale, (err, scale)
+
+
+def test_box_attention_bf16_backward_tolerance(ch=32, p=16):
+    value, loc, weight = _rand_inputs(ch, p=p)
+
+    def f(v, l, w):
+        return box_attention(v, SHAPES, l, w).astype(jnp.float32).sum()
+
+    gv, gl, gw = jax.grad(f, argnums=(0, 1, 2))(
+        jnp.asarray(value, jnp.bfloat16),
+        jnp.asarray(loc, jnp.bfloat16),
+        jnp.asarray(weight, jnp.bfloat16),
+    )
+    tv = torch.from_numpy(value).requires_grad_(True)
+    tl = torch.from_numpy(loc).requires_grad_(True)
+    tw = torch.from_numpy(weight).requires_grad_(True)
+    torch_box_attn_oracle(tv, tl, tw, SHAPES).sum().backward()
+    for g, t in ((gv, tv), (gw, tw)):
+        ref = t.grad.numpy()
+        err = np.abs(np.asarray(g, np.float32) - ref).max()
+        assert err <= 0.05 * max(np.abs(ref).max(), 1e-6), err

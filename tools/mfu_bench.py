@@ -1,0 +1,150 @@
+"""MFU and batch-scaling benchmark (VERDICT r2 #2).
+
+Measures, on the real chip, BoxeR-2D R50 at 800x1216 bf16:
+  - inference img/s at bs=1 and bs=4 (detection and instance-seg),
+  - train-step time and img/s at bs=1 / 4 / 16 (reference recipe's global
+    batch 16, `base_boxer2d_detection.yaml:145-168`),
+  - model FLOPs from XLA cost analysis (`tools/analyze.py` approach) and
+    MFU = FLOPs / time / peak (v5e bf16 peak 197 TFLOP/s).
+
+Writes a markdown table to stdout (paste into docs/TPU_PERFORMANCE.md).
+
+Usage: python tools/mfu_bench.py [--quick] [--segm-train]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache")
+os.makedirs(_CACHE_DIR, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+PEAK_BF16 = 197e12  # TPU v5e per-chip
+
+
+def _model(use_mask):
+    from boxer_tpu.models.boxer2d import BoxeR2D
+
+    return BoxeR2D(num_classes=91, hidden_dim=256, nhead=8, num_level=4,
+                   enc_layers=6, dec_layers=6, dim_feedforward=1024,
+                   num_queries=300, use_mask=use_mask,
+                   backbone_arch="resnet50", dtype=jnp.bfloat16)
+
+
+def _flops(compiled):
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    return float(cost.get("flops", float("nan"))) if cost else float("nan")
+
+
+def measure_infer(use_mask, bs, h=800, w=1216, iters=20):
+    model = _model(use_mask)
+    rng = jax.random.PRNGKey(0)
+    image = jax.random.normal(rng, (bs, h, w, 3), jnp.float32)
+    mask = jnp.zeros((bs, h, w), bool)
+    variables = jax.jit(lambda r: model.init(r, image[:1], mask[:1],
+                                             train=False))(rng)
+
+    fn = jax.jit(lambda i, m: model.apply(
+        variables, i, m, train=False, inference=True)["pred_boxes"])
+    compiled = fn.lower(image, mask).compile()
+    flops = _flops(compiled)
+    out = compiled(image, mask)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = compiled(image, mask)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    return {"ms": dt * 1e3, "img_s": bs / dt, "flops": flops,
+            "mfu": flops / dt / PEAK_BF16}
+
+
+def measure_train(use_mask, bs, h=800, w=1216, iters=8):
+    from boxer_tpu.criterion.losses import Boxer2DCriterion
+    from boxer_tpu.dataset.synthetic import synthetic_batch
+    from boxer_tpu.nn.matcher import HungarianMatcher
+    from boxer_tpu.optim import build_optimizer, build_schedule
+    from boxer_tpu.parallel.steps import create_train_state, make_train_step
+
+    model = _model(use_mask)
+    matcher = HungarianMatcher(2, 5, 2, focal_label=True)
+    wd = {"loss_ce": 2.0, "loss_bbox": 5.0, "loss_giou": 2.0}
+    losses = ["boxes", "focal_labels"]
+    if use_mask:
+        wd.update({"loss_mask": 5.0, "loss_dice": 5.0})
+        losses.append("masks")
+    criterion = Boxer2DCriterion(91, matcher, wd, losses)
+
+    batch_np = synthetic_batch(bs, h, w, num_targets=20, num_classes=91,
+                               with_masks=use_mask, iter_per_update=1)
+    batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
+    variables = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), batch["image"][0][:1], batch["mask"][0][:1],
+        train=False))()
+
+    schedule = build_schedule(
+        {"type": "multi_step",
+         "params": {"lr_steps": [10 ** 9], "lr_ratio": 0.1,
+                    "use_warmup": False}}, base_lr=2e-4)
+    tx, _ = build_optimizer(
+        {"type": "adamw", "params": {"lr": 2e-4, "lr_backbone": 2e-5,
+                                     "weight_decay": 1e-4}},
+        variables["params"], schedule)
+    state = create_train_state(variables["params"],
+                               variables.get("constants"), tx)
+    step = jax.jit(make_train_step(model, criterion, tx, max_norm=0.1),
+                   donate_argnums=(0,))
+    rng = jax.random.PRNGKey(7)
+    compiled = step.lower(state, batch, rng).compile()
+    flops = _flops(compiled)
+    state, stats = compiled(state, batch, rng)
+    jax.block_until_ready(stats["total_loss"])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, stats = compiled(state, batch, rng)
+    jax.block_until_ready(stats["total_loss"])
+    dt = (time.perf_counter() - t0) / iters
+    return {"ms": dt * 1e3, "img_s": bs / dt, "flops": flops,
+            "mfu": flops / dt / PEAK_BF16}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="skip bs=16 train and segm train")
+    ap.add_argument("--segm-train", action="store_true")
+    args = ap.parse_args()
+
+    rows = []
+
+    def add(name, r):
+        rows.append((name, r))
+        print(f"| {name} | {r['ms']:.1f} | {r['img_s']:.2f} | "
+              f"{r['flops']/1e9:.0f} | {r['mfu']*100:.1f}% |", flush=True)
+
+    print("| measurement | ms/step | img/s | GFLOP/step | MFU |")
+    print("|---|---|---|---|---|")
+    add("infer segm bs=1", measure_infer(True, 1))
+    add("infer segm bs=4", measure_infer(True, 4))
+    add("infer det bs=1", measure_infer(False, 1))
+    add("train det bs=1", measure_train(False, 1))
+    add("train det bs=4", measure_train(False, 4))
+    if not args.quick:
+        add("train det bs=16", measure_train(False, 16))
+        add("train segm bs=1", measure_train(True, 1))
+        add("train segm bs=4", measure_train(True, 4))
+
+
+if __name__ == "__main__":
+    main()

@@ -19,7 +19,7 @@ jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def main(use_mask=True, trace_dir="/tmp/mask_trace"):
+def main(use_mask=True, trace_dir="/tmp/mask_trace", h=800, w=1216):
     from boxer_tpu.models.boxer2d import BoxeR2D
 
     model = BoxeR2D(
@@ -27,7 +27,7 @@ def main(use_mask=True, trace_dir="/tmp/mask_trace"):
         enc_layers=6, dec_layers=6, dim_feedforward=1024, num_queries=300,
         use_mask=use_mask, backbone_arch="resnet50", dtype=jnp.bfloat16)
 
-    h, w = 800, 1216
+    pass
     rng = jax.random.PRNGKey(0)
     image = jax.random.normal(rng, (1, h, w, 3), jnp.float32)
     mask = jnp.zeros((1, h, w), bool)
@@ -89,4 +89,10 @@ def main(use_mask=True, trace_dir="/tmp/mask_trace"):
 
 
 if __name__ == "__main__":
-    main(use_mask=(sys.argv[1] != "nomask") if len(sys.argv) > 1 else True)
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mode", nargs="?", default="mask")
+    ap.add_argument("--hw", default="800x1216")
+    a = ap.parse_args()
+    h, w = [int(v) for v in a.hw.split("x")]
+    main(use_mask=a.mode != "nomask", h=h, w=w)
