@@ -16,6 +16,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 import json
 import os
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -58,7 +59,12 @@ def _measure(use_mask: bool, h: int = 800, w: int = 1216,
         lambda r: model.init(r, image, mask, train=False)
     )(rng)
 
-    @jax.jit
+    # 64 MiB scoped VMEM gives XLA's fusion scheduler more room than the
+    # 16 MiB default (measured -1.3 ms/img on the instance-seg model)
+    opts = ({"xla_tpu_scoped_vmem_limit_kib": "65536"}
+            if jax.default_backend() == "tpu" else None)
+
+    @partial(jax.jit, compiler_options=opts)
     def infer(image, mask):
         out = model.apply(variables, image, mask, train=False, inference=True)
         return coco_postprocess(

@@ -27,6 +27,19 @@ AREA_RNG = {
     "medium": (32.0 ** 2, 96.0 ** 2),
     "large": (96.0 ** 2, 1e10),
 }
+# keypoint evaluation uses maxDets=20 and no "small" range (pycocotools
+# Params(iouType='keypoints'); reference passes iou_type through,
+# `e2edet/evaluate/coco_eval.py:83,155-166`)
+KP_MAX_DETS = (20,)
+KP_AREA_RNG = {
+    "all": (0.0, 1e10),
+    "medium": (32.0 ** 2, 96.0 ** 2),
+    "large": (96.0 ** 2, 1e10),
+}
+# per-keypoint OKS falloff constants (pycocotools computeOks)
+KP_SIGMAS = np.array([
+    .26, .25, .25, .35, .35, .79, .79, .72, .72, .62, .62,
+    1.07, 1.07, .87, .87, .89, .89]) / 10.0
 
 
 def box_iou_xywh(dt: np.ndarray, gt: np.ndarray,
@@ -52,18 +65,55 @@ def box_iou_xywh(dt: np.ndarray, gt: np.ndarray,
     return inter / np.maximum(union, 1e-9)
 
 
+def oks_matrix(dt_kps: np.ndarray, gt: List[Dict]) -> np.ndarray:
+    """Pairwise object-keypoint-similarity (pycocotools computeOks).
+
+    dt_kps: (D, K, 3) detection keypoints (x, y, score); gt: COCO keypoint
+    annotations with 'keypoints' (flat 3K), 'bbox' xywh, 'area'. For gts with
+    no labeled keypoint, distances are measured to the 2×-expanded gt box.
+    """
+    D, G = len(dt_kps), len(gt)
+    if D == 0 or G == 0:
+        return np.zeros((D, G))
+    variances = (2 * KP_SIGMAS) ** 2
+    ious = np.zeros((D, G))
+    for j, g in enumerate(gt):
+        gkp = np.asarray(g["keypoints"], np.float64).reshape(-1, 3)
+        xg, yg, vg = gkp[:, 0], gkp[:, 1], gkp[:, 2]
+        k1 = int((vg > 0).sum())
+        bb = g["bbox"]
+        x0, x1 = bb[0] - bb[2], bb[0] + bb[2] * 2
+        y0, y1 = bb[1] - bb[3], bb[1] + bb[3] * 2
+        for i in range(D):
+            xd, yd = dt_kps[i, :, 0], dt_kps[i, :, 1]
+            if k1 > 0:
+                dx, dy = xd - xg, yd - yg
+            else:
+                dx = np.maximum(0, x0 - xd) + np.maximum(0, xd - x1)
+                dy = np.maximum(0, y0 - yd) + np.maximum(0, yd - y1)
+            e = (dx ** 2 + dy ** 2) / variances / (
+                g.get("area", bb[2] * bb[3]) + np.spacing(1)) / 2
+            if k1 > 0:
+                e = e[vg > 0]
+            ious[i, j] = np.exp(-e).sum() / e.shape[0]
+    return ious
+
+
 class COCOEval:
     """Evaluate detection results against a `coco_api.COCO` ground truth.
 
     results: list of COCO result records {image_id, category_id, bbox xywh,
-    score [, segmentation rle]}; iou_type: "bbox" | "segm".
+    score [, segmentation rle | keypoints flat-3K]};
+    iou_type: "bbox" | "segm" | "keypoints".
     """
 
     def __init__(self, coco_gt, iou_type: str = "bbox",
                  img_ids: Optional[List[int]] = None):
-        assert iou_type in ("bbox", "segm")
+        assert iou_type in ("bbox", "segm", "keypoints")
         self.coco_gt = coco_gt
         self.iou_type = iou_type
+        self.max_dets = KP_MAX_DETS if iou_type == "keypoints" else MAX_DETS
+        self.area_rng = KP_AREA_RNG if iou_type == "keypoints" else AREA_RNG
         self.img_ids = sorted(img_ids or coco_gt.get_img_ids())
         self.cat_ids = coco_gt.get_cat_ids()
         self.eval_imgs: Dict = {}
@@ -95,6 +145,10 @@ class COCOEval:
             g = np.asarray([x["bbox"] for x in gt], np.float64).reshape(-1, 4)
             crowd = np.asarray([x.get("iscrowd", 0) for x in gt])
             return box_iou_xywh(d, g, crowd)
+        if self.iou_type == "keypoints":
+            d = np.asarray([x["keypoints"] for x in dt],
+                           np.float64).reshape(len(dt), -1, 3)
+            return oks_matrix(d, gt)
         from boxer_tpu.utils.rle import rle_iou_matrix
 
         d = [x["segmentation"] for x in dt]
@@ -116,7 +170,7 @@ class COCOEval:
     def _evaluate_img(self, img_id, gt, dt):
         """Greedy matching for all iouThrs/areas at maxDet=100; returns the
         per-image eval record (mirrors pycocotools evaluateImg)."""
-        max_det = max(MAX_DETS)
+        max_det = max(self.max_dets)
         dt = sorted(dt, key=lambda x: -x["score"])[:max_det]
 
         g_area = np.asarray([g.get("area", g["bbox"][2] * g["bbox"][3])
@@ -130,17 +184,28 @@ class COCOEval:
         D = len(dt)
         G = len(gt)
         d_scores = np.asarray([d["score"] for d in dt])
-        if self.iou_type == "bbox":
-            d_area = np.asarray([d["bbox"][2] * d["bbox"][3] for d in dt],
-                                np.float64)
-        else:
+        if self.iou_type == "segm":
             from boxer_tpu.utils.rle import rle_area
 
             d_area = np.asarray(
                 [rle_area(d["segmentation"]) for d in dt], np.float64)
+        elif self.iou_type == "keypoints":
+            # detection area = keypoint-extent box area (pycocotools
+            # COCO.loadRes for keypoint results)
+            d_area = np.empty(D, np.float64)
+            for i, d in enumerate(dt):
+                if "bbox" in d:
+                    d_area[i] = d["bbox"][2] * d["bbox"][3]
+                else:
+                    kp = np.asarray(d["keypoints"], np.float64).reshape(-1, 3)
+                    d_area[i] = ((kp[:, 0].max() - kp[:, 0].min())
+                                 * (kp[:, 1].max() - kp[:, 1].min()))
+        else:
+            d_area = np.asarray([d["bbox"][2] * d["bbox"][3] for d in dt],
+                                np.float64)
 
         record = {"img_id": img_id, "scores": d_scores, "areas": {}}
-        for area_name, (a0, a1) in AREA_RNG.items():
+        for area_name, (a0, a1) in self.area_rng.items():
             g_ignore = g_crowd | (g_area < a0) | (g_area > a1)
             # sort gts: non-ignored first (pycocotools gtind ordering)
             g_order = np.argsort(g_ignore, kind="stable")
@@ -185,7 +250,7 @@ class COCOEval:
     def accumulate(self):
         """precision (T, R, K, A, M) and recall (T, K, A, M)."""
         T, R = len(IOU_THRS), len(REC_THRS)
-        K, A, M = len(self.cat_ids), len(AREA_RNG), len(MAX_DETS)
+        K, A, M = len(self.cat_ids), len(self.area_rng), len(self.max_dets)
         precision = -np.ones((T, R, K, A, M))
         recall = -np.ones((T, K, A, M))
 
@@ -194,9 +259,9 @@ class COCOEval:
                     if (i, cat_id) in self.eval_imgs]
             if not recs:
                 continue
-            for a, area_name in enumerate(AREA_RNG):
+            for a, area_name in enumerate(self.area_rng):
                 num_gt = sum(r["areas"][area_name]["num_gt"] for r in recs)
-                for m, max_det in enumerate(MAX_DETS):
+                for m, max_det in enumerate(self.max_dets):
                     scores = np.concatenate(
                         [r["scores"][:max_det] for r in recs])
                     order = np.argsort(-scores, kind="mergesort")
@@ -237,8 +302,8 @@ class COCOEval:
         self.recall = recall
 
     def _summarize(self, ap: bool, iou_thr=None, area="all", max_det=100):
-        a = list(AREA_RNG).index(area)
-        m = MAX_DETS.index(max_det)
+        a = list(self.area_rng).index(area)
+        m = self.max_dets.index(max_det)
         if ap:
             s = self.precision
             if iou_thr is not None:
@@ -254,7 +319,22 @@ class COCOEval:
 
     def summarize(self) -> np.ndarray:
         """The standard 12 stats: AP, AP50, AP75, AP-S/M/L, AR@1/10/100,
-        AR-S/M/L."""
+        AR-S/M/L (keypoints: the 10-stat OKS summary at maxDet=20)."""
+        if self.iou_type == "keypoints":
+            md = KP_MAX_DETS[0]
+            self.stats = np.array([
+                self._summarize(True, max_det=md),
+                self._summarize(True, iou_thr=0.5, max_det=md),
+                self._summarize(True, iou_thr=0.75, max_det=md),
+                self._summarize(True, area="medium", max_det=md),
+                self._summarize(True, area="large", max_det=md),
+                self._summarize(False, max_det=md),
+                self._summarize(False, iou_thr=0.5, max_det=md),
+                self._summarize(False, iou_thr=0.75, max_det=md),
+                self._summarize(False, area="medium", max_det=md),
+                self._summarize(False, area="large", max_det=md),
+            ])
+            return self.stats
         self.stats = np.array([
             self._summarize(True),
             self._summarize(True, iou_thr=0.5),
@@ -338,8 +418,12 @@ class CocoEvaluator:
             ev.accumulate()
             stats[f"coco_eval_{t}"] = ev.summarize()
             if verbose:
-                names = ["AP", "AP50", "AP75", "APs", "APm", "APl",
-                         "AR1", "AR10", "AR100", "ARs", "ARm", "ARl"]
+                if t == "keypoints":
+                    names = ["AP", "AP50", "AP75", "APm", "APl",
+                             "AR", "AR50", "AR75", "ARm", "ARl"]
+                else:
+                    names = ["AP", "AP50", "AP75", "APs", "APm", "APl",
+                             "AR1", "AR10", "AR100", "ARs", "ARm", "ARl"]
                 msg = " ".join(f"{n}={v:.4f}" for n, v in
                                zip(names, stats[f"coco_eval_{t}"]))
                 print(f"[{t}] {msg}")

@@ -180,7 +180,7 @@ class BoxAttention(nn.Module):
         return gx, gy
 
     def __call__(self, query, value, v_shape: Shapes, v_mask, v_valid_ratios,
-                 ref_windows):
+                 ref_windows, fold_taps=None):
         b, l1 = query.shape[:2]
         l2 = value.shape[1]
 
@@ -196,7 +196,8 @@ class BoxAttention(nn.Module):
             b, self.num_head, self.num_level, self.num_point, l1)
 
         gx, gy = self._where_to_attend(query, v_valid_ratios, ref_windows)
-        out = box_attention_qminor(value, v_shape, gx, gy, attn_q, raw=True)
+        out = box_attention_qminor(value, v_shape, gx, gy, attn_q, raw=True,
+                                   fold=fold_taps)
         attn = attn.reshape(
             b, l1, self.num_head, self.num_level, self.num_point)
         return self.out_proj.raw(out), attn

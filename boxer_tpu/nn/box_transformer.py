@@ -111,6 +111,7 @@ class EncoderLayer(nn.Module):
     dropout: float
     v_shape: Shapes
     deterministic: bool = True
+    fold_taps: Any = None   # True on the inference path (fwd-only fold win)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -119,7 +120,8 @@ class EncoderLayer(nn.Module):
         q = src if pos is None else src + pos
         src2, _ = BoxAttention(self.d_model, self.nlevel, self.nhead,
                                dtype=self.dtype, name="self_attn")(
-            q, src, self.v_shape, src_mask, valid_ratios, ref_windows)
+            q, src, self.v_shape, src_mask, valid_ratios, ref_windows,
+            fold_taps=self.fold_taps)
         src = src + nn.Dropout(self.dropout, deterministic=det)(src2)
         src = nn.LayerNorm(dtype=self.dtype, name="norm1")(src)
 
@@ -143,7 +145,8 @@ class DecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, tgt, query_pos, memory, v_shape, memory_mask,
-                 valid_ratios, ref_windows, train: bool, emit_roi: bool):
+                 valid_ratios, ref_windows, train: bool, emit_roi: bool,
+                 fold_taps=None):
         assert self.residual_mode in ("v1", "v2")
         drop = lambda x: nn.Dropout(self.dropout, deterministic=not train)(x)
 
@@ -174,7 +177,8 @@ class DecoderLayer(nn.Module):
         else:
             tgt2, _ = BoxAttention(self.d_model, self.nlevel, self.nhead,
                                    dtype=self.dtype, name="cross_attn")(
-                q2, memory, v_shape, memory_mask, valid_ratios, ref_windows)
+                q2, memory, v_shape, memory_mask, valid_ratios, ref_windows,
+                fold_taps=fold_taps)
 
         norm2 = nn.LayerNorm(dtype=self.dtype, name="norm2")
         tgt = tgt + drop(tgt2)
@@ -304,6 +308,7 @@ class BoxTransformer(nn.Module):
         output, _ = ScannedEncoder(
             self.d_model, self.nhead, self.nlevel, self.dim_feedforward,
             self.dropout, v_shape=v_shape, deterministic=not train,
+            fold_taps=True if inference else None,
             dtype=self.dtype, name="encoder_layers",
         )(src, src_pos, src_mask, valid_ratios, src_ref_windows)
 
@@ -333,7 +338,8 @@ class BoxTransformer(nn.Module):
                 self.dropout, self.use_mask, self.residual_mode,
                 dtype=self.dtype, name=f"decoder_layer{i}",
             )(tgt, dec_pos, output, v_shape, src_mask, valid_ratios,
-              dec_ref_windows, train, emit_roi)
+              dec_ref_windows, train, emit_roi,
+              fold_taps=True if inference else None)
             inter.append(tgt)
             inter_roi.append(roi)
 

@@ -62,11 +62,43 @@ class MLP(nn.Module):
                         name=f"layer{self.num_layers - 1}")(x)
 
 
+class _SelectableConv1x1(nn.Module):
+    """1×1 conv whose output channel can be selected per sample.
+
+    Param tree is identical to ``nn.Conv(features, (1, 1))`` — kernel
+    (1, 1, C, out) + bias (out,) — so checkpoints and the torch port are
+    unaffected. With ``select`` (N,) int per-sample channel indices, only the
+    selected column of the kernel is applied: ``out[n] = h[n] · K[:, sel[n]]
+    + b[sel[n]]``, algebraically equal to computing all channels and
+    gathering, without materializing the (N, 2s, 2s, out) tensor (the
+    reference materializes + gathers, `predictor.py:92-101`).
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, h, select=None):
+        c = h.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, c, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        kernel = kernel.astype(self.dtype)
+        bias = bias.astype(self.dtype)
+        if select is None:
+            return jnp.einsum("nxyc,cf->nxyf", h, kernel[0, 0]) + bias
+        w_sel = jnp.take(kernel[0, 0].T, select, axis=0)      # (N, C)
+        b_sel = jnp.take(bias, select, axis=0)                # (N,)
+        out = jnp.einsum("nxyc,nc->nxy", h, w_sel)
+        return out + b_sel[:, None, None]
+
+
 class SegmentMLP(nn.Module):
     """Mask head: 2× upsample (ConvTranspose 2×2/2) + 1×1 convs.
 
-    Input x: (nl, B, L, s, s, C) -> (nl, B, L, out, 2s, 2s).
-    Parity `predictor.py:25-54`.
+    Input x: (nl, B, L, s, s, C) -> (nl, B, L, out, 2s, 2s), or
+    (nl, B, L, 2s, 2s) when ``select`` (nl*B*L,) picks one output channel
+    per query. Parity `predictor.py:25-54`.
     """
 
     hidden_dim: int
@@ -76,7 +108,7 @@ class SegmentMLP(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, select=None):
         n, b, l, s, _, c = x.shape
         h = x.reshape(n * b * l, s, s, c)
         h = nn.ConvTranspose(self.hidden_dim, (2, 2), strides=(2, 2),
@@ -87,7 +119,10 @@ class SegmentMLP(nn.Module):
                         padding=self.kernel_size // 2, dtype=self.dtype,
                         name=f"conv{i}")(h)
             h = nn.relu(h)
-        h = nn.Conv(self.output_dim, (1, 1), dtype=self.dtype, name="proj")(h)
+        h = _SelectableConv1x1(self.output_dim, dtype=self.dtype,
+                               name="proj")(h, select=select)
+        if select is not None:
+            return h.reshape(n, b, l, 2 * s, 2 * s)
         # (N*B*L, 2s, 2s, out) -> (nl, B, L, out, 2s, 2s)
         h = h.transpose(0, 3, 1, 2).reshape(n, b, l, self.output_dim, 2 * s, 2 * s)
         return h
@@ -136,11 +171,10 @@ class Detector(nn.Module):
         outputs_mask = None
         if self.mask_mode == "mask_v1":
             assert roi is not None
-            masks = self.mask_embed(roi)  # (nl,B,L,num_classes,2s,2s)
+            # per-query selected column of the proj kernel == the reference's
+            # materialize-all-classes + gather-at-argmax (`predictor.py:92-101`)
             top = jnp.argmax(outputs_class, axis=-1)  # (nl,B,L)
-            outputs_mask = jnp.take_along_axis(
-                masks, top[..., None, None, None], axis=3
-            ).squeeze(3)
+            outputs_mask = self.mask_embed(roi, select=top.reshape(-1))
         elif self.mask_mode == "mask_v2":
             assert roi is not None
             outputs_mask = self.mask_embed(roi).squeeze(3)

@@ -168,15 +168,18 @@ def _take_rows_vjp(stride: int, bh: int, pmajor_p: int = 0):
         if pallas_scatter_supported(ch, idx.size // bh):
             base = (jnp.arange(bh, dtype=jnp.int32) * stride)
             if pmajor_p:
+                # p-major kernel layout: the cotangent is consumed in its
+                # native (p, bh, lq) row order — no bh-grouping transpose
+                from boxer_tpu.ops.pallas.scatter_accum import (
+                    scatter_add_rows_pmajor)
+
                 p, _, lq = idx.shape
-                idx_rel = (jnp.swapaxes(idx, 0, 1) - base[:, None, None]
-                           ).reshape(bh, p * lq)
-                g_rows = jnp.swapaxes(g.reshape(p, bh, lq, ch), 0, 1
-                                      ).reshape(bh, p * lq, ch)
+                idx_rel = idx - base[None, :, None]
+                d = scatter_add_rows_pmajor(
+                    idx_rel, g.reshape(p, bh, lq, ch), stride)
             else:
                 idx_rel = idx.reshape(bh, -1) - base[:, None]
-                g_rows = g.reshape(bh, -1, ch)
-            d = scatter_add_rows(idx_rel, g_rows, stride)
+                d = scatter_add_rows(idx_rel, g.reshape(bh, -1, ch), stride)
             d_table = d.reshape(bh * stride, ch).astype(tdtype)
         else:
             d_table = (jnp.zeros((bh * stride, ch), jnp.float32)
@@ -360,10 +363,12 @@ def _box_attention_qminor_folded(value, shapes: Shapes, gx, gy, attn_weight):
     return out.astype(value.dtype).reshape(b, nh, lq, ch)
 
 
-# taps above this go through the folded single-take path; the per-tap loop
-# wins below it (measured: folding the encoder's P=4 regressed the encoder
-# while-loop 48 -> 57 ms — the big-P win comes from avoiding op overhead of
-# L*P tiny gathers, which the encoder doesn't have)
+# taps above this go through the folded single-take path when the caller
+# doesn't pass an explicit `fold` flag. Folding P=4 is a measured FORWARD win
+# (det inference 60.5 -> 58.4 ms/img) but a backward regression (train step
+# 277 -> 327 ms: the folded table's cotangent scatter is costlier than 4
+# per-tap scatters), so the model passes fold=True only on its inference
+# path and the train-time default stays per-tap below 8.
 _FOLD_TAP_THRESHOLD = 8
 
 import os as _os
@@ -675,19 +680,27 @@ def _merge_heads(raw):
 
 
 def box_attention_qminor(value, shapes: Shapes, gx, gy, attn_weight,
-                         raw: bool = False):
+                         raw: bool = False, fold=None):
     """Public entry: quad-table fast path (AD or analytic custom backward).
 
     raw=True returns (B, H, LQ, C) — the op's native row order — letting the
     caller fold the head merge into its output projection instead of paying
     a layout copy per gather output (XLA propagates the transpose's
     column-major layout upstream; measured 8.6 ms/model in the decoder).
+
+    fold=None picks the folded single-take path by tap count (see
+    _FOLD_TAP_THRESHOLD). Callers on the inference path pass fold=True:
+    folding the P=4 layers is a measured forward win (det 60.5 -> 58.4
+    ms/img) but regresses the backward (train step 277 -> 327 ms), so the
+    flag follows the model's train/inference mode.
     """
     if _USE_CUSTOM_VJP:
         out = _box_attention_vjp(tuple(tuple(s) for s in shapes))(
             value, gx, gy, attn_weight)
         return out if raw else _merge_heads(out)
-    if gx.shape[3] > _FOLD_TAP_THRESHOLD:
+    if fold is None:
+        fold = gx.shape[3] > _FOLD_TAP_THRESHOLD
+    if fold:
         out = _box_attention_qminor_folded(value, shapes, gx, gy, attn_weight)
     else:
         out = _box_attention_qminor_impl(value, shapes, gx, gy, attn_weight)

@@ -48,20 +48,18 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-@functools.lru_cache(maxsize=None)
-def _build_call(bh: int, nt: int, rb_pad: int, ch: int,
-                pay_dtype: str = "float32"):
-    nch = pl.cdiv(nt, _CHUNK)
-    acc_rows = rb_pad + 8          # last 8 rows = dump for padded taps
-    multi = rb_pad <= _MULTI_ACC_MAX_ROWS
-    n_acc = _UNROLL if multi else 1
-    stride = _CHUNK // _UNROLL
+def _make_kernel(nch: int, tpb: int, idx_at, payload_at):
+    """Shared kernel body over `tpb` taps per grid block (a 32-multiple);
+    `idx_at`/`payload_at` adapt ref indexing to the block rank of the chosen
+    layout."""
 
     def kernel(idx_ref, payload_ref, out_ref, *accs_and_sem):
         accs = accs_and_sem[:-1]
         sem = accs_and_sem[-1]
         b = pl.program_id(0)
         c = pl.program_id(1)
+        n_acc = len(accs)
+        stride = tpb // _UNROLL
 
         @pl.when(c == 0)
         def _():
@@ -77,11 +75,10 @@ def _build_call(bh: int, nt: int, rb_pad: int, ch: int,
             # ~C/4 taps apart (and distinct accumulators when multi).
             for k in range(_UNROLL):
                 base_t = pl.multiple_of(k * stride + i * 8, 8)
-                block = payload_ref[0, pl.ds(base_t, 8), :].astype(
-                    jnp.float32)
+                block = payload_at(payload_ref, base_t).astype(jnp.float32)
                 a = accs[k % n_acc]
                 for r in range(8):
-                    j = idx_ref[base_t + r]
+                    j = idx_at(idx_ref, base_t + r)
                     a[pl.ds(j, 1), :] = (a[pl.ds(j, 1), :]
                                          + block[r:r + 1, :])
             return 0
@@ -97,6 +94,22 @@ def _build_call(bh: int, nt: int, rb_pad: int, ch: int,
             dma.start()
             dma.wait()
 
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _build_call(bh: int, nt: int, rb_pad: int, ch: int,
+                pay_dtype: str = "float32"):
+    nch = pl.cdiv(nt, _CHUNK)
+    acc_rows = rb_pad + 8          # last 8 rows = dump for padded taps
+    multi = rb_pad <= _MULTI_ACC_MAX_ROWS
+    n_acc = _UNROLL if multi else 1
+
+    kernel = _make_kernel(
+        nch, _CHUNK,
+        idx_at=lambda ref, t: ref[t],
+        payload_at=lambda ref, t: ref[0, pl.ds(t, 8), :])
+
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((bh, acc_rows, ch), jnp.float32),
@@ -111,6 +124,90 @@ def _build_call(bh: int, nt: int, rb_pad: int, ch: int,
         scratch_shapes=[pltpu.VMEM((acc_rows, ch), jnp.float32)] * n_acc
         + [pltpu.SemaphoreType.DMA],
     )
+
+
+def _pmajor_tpb(lq: int) -> int:
+    """Taps per block for the p-major layout: whole lq rounded to a
+    128-multiple when small (rank-1 SMEM blocks must be 128-multiples;
+    decoder LQ=300 -> 384, 21.9% dump overhead) else _CHUNK."""
+    return min(_CHUNK, _round_up(lq, 128))
+
+
+@functools.lru_cache(maxsize=None)
+def _build_call_pmajor(bh: int, p: int, lq: int, rb_pad: int, ch: int,
+                       pay_dtype: str = "float32"):
+    """p-major layout: idx (P, BH, LQ_pad) and payload (P, BH, LQ, CH), the
+    folded-gather cotangent's NATIVE row order — the BlockSpec index maps walk
+    (p, lq-chunk) per bh so no bh-grouping transpose of the (P*BH*LQ, CH)
+    cotangent is ever materialized (measured ~17 ms/train-step of pure
+    relayout copies at instance-attention scale)."""
+    tpb = _pmajor_tpb(lq)
+    nlc = pl.cdiv(lq, tpb)
+    nch = p * nlc
+    acc_rows = rb_pad + 8
+    multi = rb_pad <= _MULTI_ACC_MAX_ROWS
+    n_acc = _UNROLL if multi else 1
+
+    # idx SMEM layout: Mosaic constrains blocks like VMEM tiles — a
+    # (1, 1, tpb) block over (P, BH, LQ_pad) violates the sublane rule at
+    # BH=8, and rank-1 flat blocks must match XLA's T(1024) tiling. So:
+    # 1024-multiple tpb (big lq) -> flat 1-D blocks in grid order; small
+    # tpb (decoder lq=300 -> 384) -> rank-3 (1, BH, tpb) full-bh block,
+    # which satisfies the (8, 128) int32 tiling, and the kernel picks its
+    # bh row via program_id.
+    if tpb % 1024 == 0:
+        idx_spec = pl.BlockSpec(
+            (tpb,),
+            lambda b, c: (((c // nlc) * bh + b) * nlc + c % nlc,),
+            memory_space=pltpu.SMEM)
+        idx_at = lambda ref, t: ref[t]
+    else:
+        idx_spec = pl.BlockSpec(
+            (1, bh, tpb), lambda b, c: (c // nlc, 0, c % nlc),
+            memory_space=pltpu.SMEM)
+        idx_at = lambda ref, t: ref[0, pl.program_id(0), t]
+
+    kernel = _make_kernel(
+        nch, tpb, idx_at=idx_at,
+        payload_at=lambda ref, t: ref[0, 0, pl.ds(t, 8), :])
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bh, acc_rows, ch), jnp.float32),
+        grid=(bh, nch),
+        in_specs=[
+            idx_spec,
+            pl.BlockSpec((1, 1, tpb, ch),
+                         lambda b, c: (c // nlc, b, c % nlc, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[pltpu.VMEM((acc_rows, ch), jnp.float32)] * n_acc
+        + [pltpu.SemaphoreType.DMA],
+    )
+
+
+def scatter_add_rows_pmajor(idx, payload, rb: int):
+    """acc[b, idx[p, b, t]] += payload[p, b, t] with f32 accumulation, taps in
+    the folded gather's native p-major order (no bh-grouping transpose).
+
+    idx:     (P, BH, LQ) int32, entries RELATIVE to the bh slice, in [0, rb)
+    payload: (P, BH, LQ, CH) float
+    returns  (BH, rb, CH) f32
+    """
+    p, bh, lq = idx.shape
+    ch = payload.shape[-1]
+    tpb = _pmajor_tpb(lq)
+    lq_pad = _round_up(lq, tpb)
+    rb_pad = _round_up(rb, 8)
+
+    idx_p = jnp.full((p, bh, lq_pad), rb_pad, jnp.int32)
+    idx_p = jax.lax.dynamic_update_slice(idx_p, idx, (0, 0, 0))
+    if tpb % 1024 == 0:
+        idx_p = idx_p.reshape(-1)
+    out = _build_call_pmajor(bh, p, lq, rb_pad, ch,
+                             jnp.dtype(payload.dtype).name)(idx_p, payload)
+    return out[:, :rb]
 
 
 def scatter_add_rows(idx, payload, rb: int):

@@ -216,3 +216,81 @@ def test_evaluator_update_dedupes_within_host():
     assert ev.img_ids == [5, 6]
     assert [(r["image_id"], r["score"]) for r in ev.results["bbox"]] == [
         (5, 0.9), (6, 0.4)]
+
+
+# ---- keypoints (OKS) iou_type (reference `evaluate/coco_eval.py:83,155-166`) ----
+
+def _kp_gt_dataset():
+    images = [{"id": 1, "height": 200, "width": 200, "file_name": "1.jpg"}]
+    categories = [{"id": 1, "name": "person"}]
+    kps = [0.0] * 51
+    kps[0:3] = [20.0, 20.0, 2]    # keypoint 0 visible (sigma .26)
+    kps[3:6] = [30.0, 30.0, 2]    # keypoint 1 visible (sigma .25)
+    annotations = [
+        {"id": 1, "image_id": 1, "category_id": 1, "bbox": [10, 10, 40, 80],
+         "area": 3200.0, "iscrowd": 0, "keypoints": kps, "num_keypoints": 2},
+    ]
+    return {"images": images, "categories": categories,
+            "annotations": annotations}
+
+
+def test_keypoints_perfect_ap1():
+    from boxer_tpu.evaluate.coco_eval import COCOEval
+
+    coco = COCO(dataset=_kp_gt_dataset())
+    kps = [0.0] * 51
+    kps[0:3] = [20.0, 20.0, 1.0]
+    kps[3:6] = [30.0, 30.0, 1.0]
+    results = [{"image_id": 1, "category_id": 1, "keypoints": kps,
+                "bbox": [10, 10, 40, 80], "score": 0.9}]
+    ev = COCOEval(coco, "keypoints")
+    ev.evaluate(results)
+    ev.accumulate()
+    stats = ev.summarize()
+    assert len(stats) == 10
+    assert stats[0] == pytest.approx(1.0)   # AP(OKS)
+    assert stats[5] == pytest.approx(1.0)   # AR
+
+
+def test_keypoints_oks_hand_value():
+    """OKS of a displaced detection matches the pycocotools formula, and AP
+    equals the fraction of OKS thresholds the match clears."""
+    from boxer_tpu.evaluate.coco_eval import COCOEval, KP_SIGMAS, oks_matrix
+
+    coco = COCO(dataset=_kp_gt_dataset())
+    # displace keypoint 0 by (6, 8) -> d^2 = 100; keypoint 1 exact
+    kps = [0.0] * 51
+    kps[0:3] = [26.0, 28.0, 1.0]
+    kps[3:6] = [30.0, 30.0, 1.0]
+    area = 3200.0
+    e0 = 100.0 / ((2 * KP_SIGMAS[0]) ** 2) / (area + np.spacing(1)) / 2
+    expected = (np.exp(-e0) + 1.0) / 2.0
+
+    gt_ann = _kp_gt_dataset()["annotations"][0]
+    got = oks_matrix(np.asarray(kps, np.float64).reshape(1, -1, 3), [gt_ann])
+    assert got[0, 0] == pytest.approx(expected, abs=1e-9)
+
+    results = [{"image_id": 1, "category_id": 1, "keypoints": kps,
+                "bbox": [10, 10, 40, 80], "score": 0.9}]
+    ev = COCOEval(coco, "keypoints")
+    ev.evaluate(results)
+    ev.accumulate()
+    stats = ev.summarize()
+    from boxer_tpu.evaluate.coco_eval import IOU_THRS
+    frac = float((IOU_THRS <= expected).mean())
+    assert stats[0] == pytest.approx(frac, abs=1e-6)
+
+
+def test_keypoints_unlabeled_gt_box_falloff():
+    """gt with zero labeled keypoints: distances measured to the 2x-expanded
+    box, so a detection inside that box has OKS 1 (pycocotools computeOks
+    k1==0 branch)."""
+    from boxer_tpu.evaluate.coco_eval import oks_matrix
+
+    gt = {"id": 1, "image_id": 1, "category_id": 1,
+          "bbox": [10.0, 10.0, 40.0, 80.0], "area": 3200.0, "iscrowd": 0,
+          "keypoints": [0.0] * 51, "num_keypoints": 0}
+    kps = np.zeros((1, 17, 3))
+    kps[0, :, 0] = 25.0
+    kps[0, :, 1] = 40.0
+    assert oks_matrix(kps, [gt])[0, 0] == pytest.approx(1.0)

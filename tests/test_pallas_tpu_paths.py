@@ -1,16 +1,19 @@
-"""TPU-only parity for the Pallas backward scatter path.
+"""TPU-only parity for the Pallas backward scatter paths.
 
 The main suite forces the CPU backend (conftest), where
-`pallas_scatter_supported` is False and the XLA scatter fallback runs. This
-test spawns a subprocess WITHOUT the CPU forcing so the real chip (when
+`pallas_scatter_supported` is False and the XLA scatter fallback runs. These
+tests spawn a subprocess WITHOUT the CPU forcing so the real chip (when
 present) exercises the Pallas VMEM-accumulator scatter inside the
-box-attention backward at production-like sizes (ch=32 → 128-lane quad rows,
-LQ large enough to clear the kernel's _MIN_TAPS threshold), and compares
-grads against this process's CPU/XLA-fallback grads.
+box-attention backward at production-like sizes, and compare grads against
+this process's CPU/XLA-fallback grads.
 
-Skips cleanly when no TPU is reachable. (VERDICT r2 #8: cover the Pallas
-ch%128==0 path, mirroring the reference gradcheck sweep
-`tests/box_attn_test.py:162-195`.)
+Two layouts are covered (VERDICT r2 #8; reference gradcheck sweep
+`tests/box_attn_test.py:162-195`):
+  - flat: P=4 per-tap path (ch=32 -> 128-lane quad rows, LQ clears _MIN_TAPS)
+  - pmajor: P=16 folded path -> the p-major BlockSpec kernel (no cotangent
+    transpose)
+
+Skips cleanly when no TPU is reachable.
 """
 
 import json
@@ -31,20 +34,21 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", r"%s")
+jax.config.update("jax_compilation_cache_dir", r"%(cache)s")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 if jax.default_backend() not in ("tpu",):
     print(json.dumps({"skip": f"backend {jax.default_backend()}"}))
     sys.exit(0)
 
-sys.path.insert(0, r"%s")
+sys.path.insert(0, r"%(repo)s")
 from boxer_tpu.ops import box_attention
 from boxer_tpu.ops.pallas.scatter_accum import pallas_scatter_supported
 
+LQ, P = %(lq)d, %(p)d
 SHAPES = ((80, 120), (40, 60))
-B, NH, LQ, NL, P, CH = 1, 2, 9000, 2, 4, 32
-assert pallas_scatter_supported(4 * CH, LQ)
+B, NH, NL, CH = 1, 2, 2, 32
+assert pallas_scatter_supported(4 * CH, P * LQ)
 
 rng = np.random.RandomState(5)
 value = rng.rand(B, sum(h * w for h, w in SHAPES), NH, CH).astype(np.float32) * 0.01
@@ -64,9 +68,11 @@ print(json.dumps({"ok": True}))
 """
 
 
-def test_pallas_scatter_backward_matches_cpu(tmp_path):
+@pytest.mark.parametrize("lq,p", [(9000, 4), (600, 16)],
+                         ids=["flat_scatter", "pmajor_scatter"])
+def test_pallas_scatter_backward_matches_cpu(tmp_path, lq, p):
     cache = os.path.join(REPO, ".jax_cache")
-    child = _CHILD % (cache, REPO)
+    child = _CHILD % {"cache": cache, "repo": REPO, "lq": lq, "p": p}
     out_npz = str(tmp_path / "tpu_grads.npz")
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORM_NAME", "JAX_PLATFORMS", "XLA_FLAGS")}
@@ -88,12 +94,12 @@ def test_pallas_scatter_backward_matches_cpu(tmp_path):
     from boxer_tpu.ops import box_attention
 
     SHAPES = ((80, 120), (40, 60))
-    B, NH, LQ, NL, P, CH = 1, 2, 9000, 2, 4, 32
+    B, NH, NL, CH = 1, 2, 2, 32
     rng = np.random.RandomState(5)
     value = rng.rand(B, sum(h * w for h, w in SHAPES), NH, CH
                      ).astype(np.float32) * 0.01
-    loc = rng.uniform(0.05, 0.95, (B, LQ, NH, NL, P, 2)).astype(np.float32)
-    weight = rng.rand(B, LQ, NH, NL, P).astype(np.float32)
+    loc = rng.uniform(0.05, 0.95, (B, lq, NH, NL, p, 2)).astype(np.float32)
+    weight = rng.rand(B, lq, NH, NL, p).astype(np.float32)
     weight /= weight.sum(axis=(-1, -2), keepdims=True)
 
     def f(v, l, w):
