@@ -315,7 +315,10 @@ class InstanceAttention(nn.Module):
             return (self.out_proj.raw(out), self.out_proj(mask_out),
                     (spatial, level))
 
-        out = box_attention_qminor(value, v_shape, gx, gy, spatial, raw=True)
+        # train=False is the forward-only path -> the folded gather may use
+        # the fused Pallas combine+reduce (no taps materialization)
+        out = box_attention_qminor(value, v_shape, gx, gy, spatial, raw=True,
+                                   fold=True)
         return self.out_proj.raw(out), None, (spatial,)
 
 

@@ -299,7 +299,8 @@ def _reduce_pmajor(x, n: int, m: int):
     return x
 
 
-def _box_attention_qminor_folded(value, shapes: Shapes, gx, gy, attn_weight):
+def _box_attention_qminor_folded(value, shapes: Shapes, gx, gy, attn_weight,
+                                 fused: bool = False):
     """Large-P fast path: ONE gather per level with all taps folded in.
 
     For instance-attention-sized taps (P = k*k = 196) the per-tap python loop
@@ -307,6 +308,11 @@ def _box_attention_qminor_folded(value, shapes: Shapes, gx, gy, attn_weight):
     measured at decoder scale). Here each level is ONE vectorized take of
     BH*P*LQ rows (~1.6 ns/row, the emitter floor), consumed by the corner
     mul-add fusion and a p-major tree reduce.
+
+    fused=True (inference only — no AD rule) replaces the combine + tree
+    reduce with the Pallas fused kernel (`ops/pallas/combine_reduce.py`):
+    the P-accumulation stays in VMEM f32 scratch, no (P*M, Ch) tap tensor is
+    materialized (measured 1.418 vs 1.668 ms per encoder layer-level).
 
     Row order is (p, b, h, lq) so the P-reduce is leading-axis slicing.
     Same contract as `_box_attention_qminor_impl`.
@@ -343,6 +349,22 @@ def _box_attention_qminor_folded(value, shapes: Shapes, gx, gy, attn_weight):
         yq = jnp.clip(y0i + 1, 0, hl)
         idx = base + yq * (wl + 1) + xq                       # (P, BH, LQ)
         w_tap = jnp.where(valid, w_l, 0.0)
+
+        if fused:
+            from boxer_tpu.ops.pallas.combine_reduce import (
+                fused_combine_reduce)
+
+            # plain take (no VJP machinery — this path is forward-only)
+            vals = jnp.take(tables[li], idx.reshape(-1), axis=0,
+                            mode="clip")                      # (P*M, 4Ch)
+            w4 = jnp.stack([
+                (1.0 - lx) * (1.0 - ly) * w_tap,
+                lx * (1.0 - ly) * w_tap,
+                (1.0 - lx) * ly * w_tap,
+                lx * ly * w_tap,
+            ], axis=1).reshape(npt, 4, m)                     # (P, 4, M)
+            out = out + fused_combine_reduce(vals, w4, npt, m)
+            continue
 
         vals = _take_rows_vjp(stride, bh, pmajor_p=npt)(
             tables[li], idx)                                  # (P*M, 4Ch)
@@ -698,10 +720,19 @@ def box_attention_qminor(value, shapes: Shapes, gx, gy, attn_weight,
         out = _box_attention_vjp(tuple(tuple(s) for s in shapes))(
             value, gx, gy, attn_weight)
         return out if raw else _merge_heads(out)
+    # fold=True is the model's explicit inference flag -> the folded path may
+    # additionally use the forward-only Pallas combine+reduce kernel
+    fused = fold is True
     if fold is None:
         fold = gx.shape[3] > _FOLD_TAP_THRESHOLD
     if fold:
-        out = _box_attention_qminor_folded(value, shapes, gx, gy, attn_weight)
+        from boxer_tpu.ops.pallas.combine_reduce import (
+            pallas_combine_supported)
+
+        ch = value.shape[-1]
+        out = _box_attention_qminor_folded(
+            value, shapes, gx, gy, attn_weight,
+            fused=fused and pallas_combine_supported(ch))
     else:
         out = _box_attention_qminor_impl(value, shapes, gx, gy, attn_weight)
     return out if raw else _merge_heads(out)

@@ -113,3 +113,67 @@ def test_pallas_scatter_backward_matches_cpu(tmp_path, lq, p):
         scale = max(np.abs(ref).max(), 1e-6)
         err = np.abs(got - ref).max() / scale
         assert err < 5e-3, (name, err)
+
+
+_CHILD_FUSED = r"""
+import json, sys
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", r"%(cache)s")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+if jax.default_backend() not in ("tpu",):
+    print(json.dumps({"skip": f"backend {jax.default_backend()}"}))
+    sys.exit(0)
+
+sys.path.insert(0, r"%(repo)s")
+from boxer_tpu.ops.box_attention import box_attention_qminor
+from boxer_tpu.ops.pallas.combine_reduce import pallas_combine_supported
+
+SHAPES = ((100, 152), (50, 76), (25, 38), (13, 19))
+B, NH, NL, P, CH = 1, 8, 4, 4, 32
+assert pallas_combine_supported(CH)
+S = sum(h * w for h, w in SHAPES)
+rng = np.random.RandomState(7)
+
+errs = {}
+for lq, dtype in ((18071, jnp.bfloat16), (300, jnp.bfloat16),
+                  (300, jnp.float32)):
+    value = jnp.asarray(rng.rand(B, S, NH, CH).astype(np.float32) * 0.1,
+                        dtype)
+    gx = jnp.asarray(rng.rand(B, NH, NL, P, lq).astype(np.float32))
+    gy = jnp.asarray(rng.rand(B, NH, NL, P, lq).astype(np.float32))
+    aw = jnp.asarray(rng.rand(B, NH, NL, P, lq).astype(np.float32) * 0.1)
+
+    ref = jax.jit(lambda v, x, y, w: box_attention_qminor(
+        v, SHAPES, x, y, w, raw=True, fold=False))(value, gx, gy, aw)
+    got = jax.jit(lambda v, x, y, w: box_attention_qminor(
+        v, SHAPES, x, y, w, raw=True, fold=True))(value, gx, gy, aw)
+    ref = np.asarray(ref, np.float32)
+    got = np.asarray(got, np.float32)
+    scale = max(np.abs(ref).max(), 1e-6)
+    errs[f"lq{lq}_{jnp.dtype(dtype).name}"] = float(
+        np.abs(got - ref).max() / scale)
+
+print(json.dumps({"ok": True, "errs": errs}))
+"""
+
+
+def test_pallas_fused_combine_forward_matches_unfused():
+    """Inference-path fused combine+reduce kernel (fold=True) vs the XLA
+    folded chain at encoder (LQ=18071) and decoder (LQ=300) scale."""
+    cache = os.path.join(REPO, ".jax_cache")
+    child = _CHILD_FUSED % {"cache": cache, "repo": REPO}
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORM_NAME", "JAX_PLATFORMS", "XLA_FLAGS")}
+    proc = subprocess.run([sys.executable, "-c", child],
+                          capture_output=True, text=True, timeout=540,
+                          cwd=REPO, env=env)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    status = json.loads(proc.stdout.strip().splitlines()[-1])
+    if "skip" in status:
+        pytest.skip(f"no TPU: {status['skip']}")
+    for name, err in status["errs"].items():
+        assert err < 2e-2, (name, err)   # bf16 combine-order tolerance
