@@ -316,72 +316,86 @@ def _box_attention_qminor_folded(value, shapes: Shapes, gx, gy, attn_weight,
 
     Row order is (p, b, h, lq) so the P-reduce is leading-axis slicing.
     Same contract as `_box_attention_qminor_impl`.
+
+    Like the per-tap path, the takes run PER BATCH ITEM against per-b table
+    slices: gather cost grows with table row count (rule 6,
+    docs/TPU_PERFORMANCE.md), so at bs=4 one bh-concatenated take costs ~3x
+    the four per-b takes. At b == 1 this emits the exact same graph as the
+    single-loop formulation.
     """
     b, s, nh, ch = value.shape
     _, _, nl, npt, lq = gx.shape
     assert nl == len(shapes)
     bh = b * nh
-    m = bh * lq
+    mb = nh * lq
 
     tables = _build_quad_tables(value, shapes)
     gx = gx.reshape(bh, nl, npt, lq).astype(jnp.float32)
     gy = gy.reshape(bh, nl, npt, lq).astype(jnp.float32)
     aw = attn_weight.reshape(bh, nl, npt, lq).astype(jnp.float32)
-    bh_idx = jnp.arange(bh, dtype=jnp.int32)[None, :, None]   # (1, BH, 1)
+    h_idx = jnp.arange(nh, dtype=jnp.int32)[None, :, None]    # (1, H, 1)
 
-    out = jnp.zeros((m, ch), jnp.float32)
-    for li, (hl, wl) in enumerate(shapes):
-        stride = (hl + 1) * (wl + 1)
-        base = bh_idx * stride
-        # p-major layout: (BH, P, LQ) -> (P, BH, LQ); small tensors, cheap
-        x = jnp.swapaxes(gx[:, li], 0, 1) * wl - 0.5
-        y = jnp.swapaxes(gy[:, li], 0, 1) * hl - 0.5
-        w_l = jnp.swapaxes(aw[:, li], 0, 1)
-        x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
-        lx = x - x0
-        ly = y - y0
-        x0i = x0.astype(jnp.int32)
-        y0i = y0.astype(jnp.int32)
-        valid = ((x0i >= -1) & (x0i <= wl - 1)
-                 & (y0i >= -1) & (y0i <= hl - 1))
-        xq = jnp.clip(x0i + 1, 0, wl)
-        yq = jnp.clip(y0i + 1, 0, hl)
-        idx = base + yq * (wl + 1) + xq                       # (P, BH, LQ)
-        w_tap = jnp.where(valid, w_l, 0.0)
+    out_pieces = []
+    for bi in range(b):
+        sl = slice(bi * nh, (bi + 1) * nh)
+        out_b = jnp.zeros((mb, ch), jnp.float32)
+        for li, (hl, wl) in enumerate(shapes):
+            stride = (hl + 1) * (wl + 1)
+            table = (tables[li] if b == 1 else jax.lax.slice_in_dim(
+                tables[li], bi * nh * stride, (bi + 1) * nh * stride))
+            base = h_idx * stride
+            # p-major layout: (H, P, LQ) -> (P, H, LQ); small tensors, cheap
+            x = jnp.swapaxes(gx[sl, li], 0, 1) * wl - 0.5
+            y = jnp.swapaxes(gy[sl, li], 0, 1) * hl - 0.5
+            w_l = jnp.swapaxes(aw[sl, li], 0, 1)
+            x0 = jnp.floor(x)
+            y0 = jnp.floor(y)
+            lx = x - x0
+            ly = y - y0
+            x0i = x0.astype(jnp.int32)
+            y0i = y0.astype(jnp.int32)
+            valid = ((x0i >= -1) & (x0i <= wl - 1)
+                     & (y0i >= -1) & (y0i <= hl - 1))
+            xq = jnp.clip(x0i + 1, 0, wl)
+            yq = jnp.clip(y0i + 1, 0, hl)
+            idx = base + yq * (wl + 1) + xq                   # (P, H, LQ)
+            w_tap = jnp.where(valid, w_l, 0.0)
 
-        if fused:
-            from boxer_tpu.ops.pallas.combine_reduce import (
-                fused_combine_reduce)
+            if fused:
+                from boxer_tpu.ops.pallas.combine_reduce import (
+                    fused_combine_reduce)
 
-            # plain take (no VJP machinery — this path is forward-only)
-            vals = jnp.take(tables[li], idx.reshape(-1), axis=0,
-                            mode="clip")                      # (P*M, 4Ch)
-            w4 = jnp.stack([
-                (1.0 - lx) * (1.0 - ly) * w_tap,
-                lx * (1.0 - ly) * w_tap,
-                (1.0 - lx) * ly * w_tap,
-                lx * ly * w_tap,
-            ], axis=1).reshape(npt, 4, m)                     # (P, 4, M)
-            out = out + fused_combine_reduce(vals, w4, npt, m)
-            continue
+                # plain take (no VJP machinery — this path is forward-only)
+                vals = jnp.take(table, idx.reshape(-1), axis=0,
+                                mode="clip")                  # (P*Mb, 4Ch)
+                w4 = jnp.stack([
+                    (1.0 - lx) * (1.0 - ly) * w_tap,
+                    lx * (1.0 - ly) * w_tap,
+                    (1.0 - lx) * ly * w_tap,
+                    lx * ly * w_tap,
+                ], axis=1).reshape(npt, 4, mb)                # (P, 4, Mb)
+                out_b = out_b + fused_combine_reduce(vals, w4, npt, mb)
+                continue
 
-        vals = _take_rows_vjp(stride, bh, pmajor_p=npt)(
-            tables[li], idx)                                  # (P*M, 4Ch)
-        w00 = ((1.0 - lx) * (1.0 - ly) * w_tap).reshape(-1, 1)
-        w01 = (lx * (1.0 - ly) * w_tap).reshape(-1, 1)
-        w10 = ((1.0 - lx) * ly * w_tap).reshape(-1, 1)
-        w11 = (lx * ly * w_tap).reshape(-1, 1)
-        # per-tap corner combine in fp32 registers; the materialized tap
-        # tensor and the tree reduce stay in the value dtype (halves HBM
-        # traffic for bf16 inference; fp32 inputs keep full-precision accum)
-        taps = (vals[:, 0 * ch:1 * ch].astype(jnp.float32) * w00
-                + vals[:, 1 * ch:2 * ch].astype(jnp.float32) * w01
-                + vals[:, 2 * ch:3 * ch].astype(jnp.float32) * w10
-                + vals[:, 3 * ch:4 * ch].astype(jnp.float32) * w11
-                ).astype(value.dtype)
-        out = out + _reduce_pmajor(taps, npt, m).astype(jnp.float32)
+            vals = _take_rows_vjp(stride, nh, pmajor_p=npt)(
+                table, idx)                                   # (P*Mb, 4Ch)
+            w00 = ((1.0 - lx) * (1.0 - ly) * w_tap).reshape(-1, 1)
+            w01 = (lx * (1.0 - ly) * w_tap).reshape(-1, 1)
+            w10 = ((1.0 - lx) * ly * w_tap).reshape(-1, 1)
+            w11 = (lx * ly * w_tap).reshape(-1, 1)
+            # per-tap corner combine in fp32 registers; the materialized tap
+            # tensor and the tree reduce stay in the value dtype (halves HBM
+            # traffic for bf16 inference; fp32 inputs keep full-precision
+            # accum)
+            taps = (vals[:, 0 * ch:1 * ch].astype(jnp.float32) * w00
+                    + vals[:, 1 * ch:2 * ch].astype(jnp.float32) * w01
+                    + vals[:, 2 * ch:3 * ch].astype(jnp.float32) * w10
+                    + vals[:, 3 * ch:4 * ch].astype(jnp.float32) * w11
+                    ).astype(value.dtype)
+            out_b = out_b + _reduce_pmajor(taps, npt, mb).astype(jnp.float32)
+        out_pieces.append(out_b)
 
+    out = out_pieces[0] if b == 1 else jnp.concatenate(out_pieces, axis=0)
     return out.astype(value.dtype).reshape(b, nh, lq, ch)
 
 
@@ -439,56 +453,69 @@ def instance_attention_qminor(value, shapes: Shapes, gx, gy, spatial_weight,
     k = kernel_size
     assert npt == k * k
     bh = b * nh
-    m = bh * lq
+    mb = nh * lq
 
     tables = _build_quad_tables(value, shapes)
     gx = gx.reshape(bh, nl, npt, lq).astype(jnp.float32)
     gy = gy.reshape(bh, nl, npt, lq).astype(jnp.float32)
     sw = spatial_weight.reshape(bh, nl, npt, lq).astype(jnp.float32)
     lw = level_weight.reshape(bh, nl, npt, lq).astype(jnp.float32)
-    bh_idx = jnp.arange(bh, dtype=jnp.int32)[None, :, None]   # (1, BH, 1)
+    h_idx = jnp.arange(nh, dtype=jnp.int32)[None, :, None]    # (1, H, 1)
 
-    out = jnp.zeros((m, ch), jnp.float32)
-    mask_acc = jnp.zeros((npt * m, ch), jnp.float32)
-    for li, (hl, wl) in enumerate(shapes):
-        stride = (hl + 1) * (wl + 1)
-        base = bh_idx * stride
-        x = jnp.swapaxes(gx[:, li], 0, 1) * wl - 0.5          # (P, BH, LQ)
-        y = jnp.swapaxes(gy[:, li], 0, 1) * hl - 0.5
-        sw_l = jnp.swapaxes(sw[:, li], 0, 1)
-        lw_l = jnp.swapaxes(lw[:, li], 0, 1)
-        x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
-        lx = x - x0
-        ly = y - y0
-        x0i = x0.astype(jnp.int32)
-        y0i = y0.astype(jnp.int32)
-        valid = ((x0i >= -1) & (x0i <= wl - 1)
-                 & (y0i >= -1) & (y0i <= hl - 1)).astype(jnp.float32)
-        xq = jnp.clip(x0i + 1, 0, wl)
-        yq = jnp.clip(y0i + 1, 0, hl)
-        idx = base + yq * (wl + 1) + xq
-        w00 = ((1.0 - lx) * (1.0 - ly) * valid).reshape(-1, 1)
-        w01 = (lx * (1.0 - ly) * valid).reshape(-1, 1)
-        w10 = ((1.0 - lx) * ly * valid).reshape(-1, 1)
-        w11 = (lx * ly * valid).reshape(-1, 1)
+    # per-batch-item table slices (rule 6: gather cost grows with table row
+    # count); at b == 1 this is the same graph as a single flat loop
+    out_pieces, mask_pieces = [], []
+    for bi in range(b):
+        slb = slice(bi * nh, (bi + 1) * nh)
+        out_b = jnp.zeros((mb, ch), jnp.float32)
+        mask_b = jnp.zeros((npt * mb, ch), jnp.float32)
+        for li, (hl, wl) in enumerate(shapes):
+            stride = (hl + 1) * (wl + 1)
+            table = (tables[li] if b == 1 else jax.lax.slice_in_dim(
+                tables[li], bi * nh * stride, (bi + 1) * nh * stride))
+            base = h_idx * stride
+            x = jnp.swapaxes(gx[slb, li], 0, 1) * wl - 0.5    # (P, H, LQ)
+            y = jnp.swapaxes(gy[slb, li], 0, 1) * hl - 0.5
+            sw_l = jnp.swapaxes(sw[slb, li], 0, 1)
+            lw_l = jnp.swapaxes(lw[slb, li], 0, 1)
+            x0 = jnp.floor(x)
+            y0 = jnp.floor(y)
+            lx = x - x0
+            ly = y - y0
+            x0i = x0.astype(jnp.int32)
+            y0i = y0.astype(jnp.int32)
+            valid = ((x0i >= -1) & (x0i <= wl - 1)
+                     & (y0i >= -1) & (y0i <= hl - 1)).astype(jnp.float32)
+            xq = jnp.clip(x0i + 1, 0, wl)
+            yq = jnp.clip(y0i + 1, 0, hl)
+            idx = base + yq * (wl + 1) + xq
+            w00 = ((1.0 - lx) * (1.0 - ly) * valid).reshape(-1, 1)
+            w01 = (lx * (1.0 - ly) * valid).reshape(-1, 1)
+            w10 = ((1.0 - lx) * ly * valid).reshape(-1, 1)
+            w11 = (lx * ly * valid).reshape(-1, 1)
 
-        vals = _take_rows_vjp(stride, bh, pmajor_p=npt)(
-            tables[li], idx)                                  # (P*M, 4Ch)
-        taps = (vals[:, 0 * ch:1 * ch].astype(jnp.float32) * w00
-                + vals[:, 1 * ch:2 * ch].astype(jnp.float32) * w01
-                + vals[:, 2 * ch:3 * ch].astype(jnp.float32) * w10
-                + vals[:, 3 * ch:4 * ch].astype(jnp.float32) * w11)
-        # layout fence — see _box_attention_qminor_folded
-        taps = jax.lax.optimization_barrier(taps)
-        out = out + _reduce_pmajor(taps * sw_l.reshape(-1, 1), npt, m)
-        mask_acc = mask_acc + taps * lw_l.reshape(-1, 1)
+            vals = _take_rows_vjp(stride, nh, pmajor_p=npt)(
+                table, idx)                                   # (P*Mb, 4Ch)
+            taps = (vals[:, 0 * ch:1 * ch].astype(jnp.float32) * w00
+                    + vals[:, 1 * ch:2 * ch].astype(jnp.float32) * w01
+                    + vals[:, 2 * ch:3 * ch].astype(jnp.float32) * w10
+                    + vals[:, 3 * ch:4 * ch].astype(jnp.float32) * w11)
+            # layout fence — see _box_attention_qminor_folded
+            taps = jax.lax.optimization_barrier(taps)
+            out_b = out_b + _reduce_pmajor(taps * sw_l.reshape(-1, 1),
+                                           npt, mb)
+            mask_b = mask_b + taps * lw_l.reshape(-1, 1)
+        out_pieces.append(out_b)
+        mask_pieces.append(mask_b.reshape(k, k, 1, nh, lq, ch))
 
+    out = (out_pieces[0] if b == 1
+           else jnp.concatenate(out_pieces, axis=0))
     out = out.astype(value.dtype).reshape(b, nh, lq, ch)
     # mask rows are (p=(ky,kx), b, h, lq) -> (B, LQ, k, k, H*Ch)
-    mask_out = mask_acc.astype(value.dtype).reshape(k, k, b, nh, lq, ch)
-    mask_out = mask_out.transpose(2, 4, 0, 1, 3, 5).reshape(
-        b, lq, k, k, nh * ch)
+    mask_out = (mask_pieces[0] if b == 1
+                else jnp.concatenate(mask_pieces, axis=2))
+    mask_out = mask_out.astype(value.dtype).transpose(
+        2, 4, 0, 1, 3, 5).reshape(b, lq, k, k, nh * ch)
     if raw:
         return out, mask_out
     return _merge_heads(out), mask_out

@@ -1,4 +1,5 @@
 """Profile BoxeR-2D use_mask inference on the real chip; aggregate trace ops."""
+import functools
 import glob
 import gzip
 import json
@@ -19,7 +20,8 @@ jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def main(use_mask=True, trace_dir="/tmp/mask_trace", h=800, w=1216):
+def main(use_mask=True, trace_dir="/tmp/mask_trace", h=800, w=1216, bs=1,
+         postproc=False):
     from boxer_tpu.models.boxer2d import BoxeR2D
 
     model = BoxeR2D(
@@ -27,15 +29,25 @@ def main(use_mask=True, trace_dir="/tmp/mask_trace", h=800, w=1216):
         enc_layers=6, dec_layers=6, dim_feedforward=1024, num_queries=300,
         use_mask=use_mask, backbone_arch="resnet50", dtype=jnp.bfloat16)
 
-    pass
     rng = jax.random.PRNGKey(0)
-    image = jax.random.normal(rng, (1, h, w, 3), jnp.float32)
-    mask = jnp.zeros((1, h, w), bool)
-    variables = jax.jit(lambda r: model.init(r, image, mask, train=False))(rng)
+    image = jax.random.normal(rng, (bs, h, w, 3), jnp.float32)
+    mask = jnp.zeros((bs, h, w), bool)
+    variables = jax.jit(
+        lambda r: model.init(r, image[:1], mask[:1], train=False))(rng)
 
-    @jax.jit
+    opts = ({"xla_tpu_scoped_vmem_limit_kib": "65536"}
+            if jax.default_backend() == "tpu" else None)
+
+    @functools.partial(jax.jit, compiler_options=opts)
     def infer(image, mask):
         out = model.apply(variables, image, mask, train=False, inference=True)
+        if postproc:
+            from boxer_tpu.evaluate.postprocess import coco_postprocess
+
+            return coco_postprocess(
+                out["pred_logits"], out["pred_boxes"],
+                out.get("pred_masks") if use_mask else None,
+                canvas_hw=(h, w), topk=100)
         if use_mask:
             return out["pred_logits"], out["pred_boxes"], out["pred_masks"]
         return out["pred_logits"], out["pred_boxes"]
@@ -93,6 +105,8 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", nargs="?", default="mask")
     ap.add_argument("--hw", default="800x1216")
+    ap.add_argument("--bs", type=int, default=1)
+    ap.add_argument("--postproc", action="store_true")
     a = ap.parse_args()
     h, w = [int(v) for v in a.hw.split("x")]
-    main(use_mask=a.mode != "nomask", h=h, w=w)
+    main(use_mask=a.mode != "nomask", h=h, w=w, bs=a.bs, postproc=a.postproc)
