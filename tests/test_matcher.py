@@ -77,3 +77,34 @@ def test_matcher_end_to_end_vs_scipy():
         ours = np.asarray(col4row[i][:nv])
         ours_total = cost[i][:, :nv].T[np.arange(nv), ours].sum()
         np.testing.assert_allclose(ours_total, ref_total, rtol=1e-4, atol=1e-3)
+
+
+def test_match_layers_equals_per_layer_calls():
+    """Stacked multi-layer matching (criterion/losses.py:match_layers) must
+    reproduce the per-layer matcher calls exactly."""
+    from boxer_tpu.criterion.losses import match_layers
+
+    rng = np.random.RandomState(7)
+    b, nq, nt, ncls, nl = 2, 40, 6, 5, 4
+    targets = {
+        "labels": jnp.asarray(rng.randint(0, ncls, (b, nt))),
+        "boxes": jnp.asarray(rng.rand(b, nt, 4).astype(np.float32) * 0.5
+                             + 0.25),
+        "valid": jnp.asarray(np.array([[True] * nt,
+                                       [True] * 3 + [False] * (nt - 3)])),
+    }
+    matcher = HungarianMatcher(cost_class=2, cost_bbox=5, cost_giou=2,
+                               focal_label=True)
+    layer_outputs = [
+        {"pred_logits": jnp.asarray(rng.randn(b, nq, ncls).astype(np.float32)),
+         "pred_boxes": jnp.asarray(rng.rand(b, nq, 4).astype(np.float32)
+                                   * 0.5 + 0.25)}
+        for _ in range(nl)
+    ]
+    qis, valids = match_layers(matcher, layer_outputs, targets)
+    assert len(qis) == nl
+    for i, out in enumerate(layer_outputs):
+        qi_ref, valid_ref = matcher(out, targets)
+        np.testing.assert_array_equal(np.asarray(qis[i]), np.asarray(qi_ref))
+        np.testing.assert_array_equal(np.asarray(valids[i]),
+                                      np.asarray(valid_ref))
