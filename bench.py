@@ -85,12 +85,26 @@ def _measure(use_mask: bool, h: int = 800, w: int = 1216,
 def main():
     segm_fps = _measure(use_mask=True)
     det_fps = _measure(use_mask=False)
+    extra = {}
+    try:
+        import sys
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from mfu_bench import measure_train
+
+        r = measure_train(False, 1, iters=6)
+        extra["train_det_bs1_ms"] = round(r["ms"], 1)
+        extra["train_det_bs1_mfu_pct"] = round(r["mfu"] * 100, 2)
+    except Exception as e:  # noqa: BLE001 — train line is best-effort
+        extra["train_det_bs1_ms"] = f"failed: {str(e)[:60]}"
     print(json.dumps({
         "metric": "boxer2d_r50_segm_infer_fps",
         "value": round(segm_fps, 3),
         "unit": "img/s",
         "vs_baseline": round(segm_fps / BASELINE_FPS, 3),
         "detection_fps": round(det_fps, 3),
+        **extra,
     }))
 
 

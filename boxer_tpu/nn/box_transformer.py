@@ -330,16 +330,23 @@ class BoxTransformer(nn.Module):
         tgt = dec_embed
         inter, inter_roi = [], []
         n_dec = self.num_decoder_layers
+        # remat mask-decoder layers at train time: each layer's live RoI
+        # activations are (B, LQ, 14, 14, C) ~115 MB/image in bf16 — without
+        # remat the 6-layer segm train step needs 30.5G HBM at bs=4
+        # (static_argnums: self=0; v_shape/train/emit_roi/fold_taps static)
+        layer_cls = DecoderLayer
+        if self.remat and self.use_mask and train:
+            layer_cls = nn.remat(DecoderLayer, static_argnums=(4, 8, 9, 10))
         for i in range(n_dec):
             is_last = i == n_dec - 1
             emit_roi = self.use_mask and (not inference or is_last)
-            tgt, roi = DecoderLayer(
+            tgt, roi = layer_cls(
                 self.d_model, self.nhead, self.nlevel, self.dim_feedforward,
                 self.dropout, self.use_mask, self.residual_mode,
                 dtype=self.dtype, name=f"decoder_layer{i}",
             )(tgt, dec_pos, output, v_shape, src_mask, valid_ratios,
               dec_ref_windows, train, emit_roi,
-              fold_taps=True if inference else None)
+              True if inference else None)
             inter.append(tgt)
             inter_roi.append(roi)
 

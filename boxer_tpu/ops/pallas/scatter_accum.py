@@ -210,6 +210,241 @@ def scatter_add_rows_pmajor(idx, payload, rb: int):
     return out[:, :rb]
 
 
+def _make_weighted_kernel(nch: int, tpb: int, ch: int):
+    """Weighted variant: the payload is the layer's SHARED (tpb, ch) d_out
+    block plus a (4, tpb) corner-weight block; the 4*ch-lane quad-row
+    cotangent [w0*g | w1*g | w2*g | w3*g] is expanded in VMEM — the host
+    never materializes it (at encoder scale the (N, 4*ch) tensor comes out
+    of XLA's combine column-major and costs ~24 ms/step of relayout copies
+    feeding the plain kernel).
+
+    Expansion trick (same as ops/pallas/combine_reduce.py): one MXU
+    dot_general per chunk turns the lane-major (4, tpb) weights into a
+    (tpb, 4*ch) corner-slice broadcast E, contracting over the 4-dim — a
+    free transpose; the body then tiles each aligned 8-row g block across
+    the 4 corner slices in registers and multiplies by E's rows."""
+
+    def kernel(idx_ref, g_ref, w_ref, out_ref, *scratch):
+        accs = scratch[:-2]
+        p_scr = scratch[-2]
+        sem = scratch[-1]
+        b = pl.program_id(0)
+        c = pl.program_id(1)
+        n_acc = len(accs)
+        stride = tpb // _UNROLL
+
+        @pl.when(c == 0)
+        def _():
+            for a in accs:
+                a[:] = jnp.zeros_like(a)
+
+        # expand the whole chunk's quad-row payload ONCE into VMEM scratch:
+        # E[t, c*ch+i] = w[c, t] via one MXU dot_general (contraction over
+        # the leading 4 = free transpose of the lane-major weights), payload
+        # = tiled g * E. Doing this per 8-row block instead serializes into
+        # the accumulate chain (measured 97 vs 54 ms/step at encoder scale).
+        cc = jax.lax.broadcasted_iota(jnp.int32, (4, 4 * ch), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (4, 4 * ch), 1) // ch
+        sel = (cc == jj).astype(jnp.float32)
+        e = jax.lax.dot_general(
+            w_ref[0], sel, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)               # (tpb, 4ch)
+        g = g_ref[0].astype(jnp.float32)                      # (tpb, ch)
+        p_scr[:] = jnp.concatenate([g, g, g, g], axis=1) * e
+
+        def body(i, _):
+            for k in range(_UNROLL):
+                base_t = pl.multiple_of(k * stride + i * 8, 8)
+                row = p_scr[pl.ds(base_t, 8), :]
+                a = accs[k % n_acc]
+                for r in range(8):
+                    j = idx_ref[base_t + r]
+                    a[pl.ds(j, 1), :] = (a[pl.ds(j, 1), :] + row[r:r + 1, :])
+            return 0
+
+        jax.lax.fori_loop(0, stride // 8, body, 0)
+
+        @pl.when(c == nch - 1)
+        def _():
+            if n_acc > 1:
+                accs[0][:] = (accs[0][:] + accs[1][:]
+                              + accs[2][:] + accs[3][:])
+            dma = pltpu.make_async_copy(accs[0], out_ref.at[b], sem)
+            dma.start()
+            dma.wait()
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _build_call_weighted(bh: int, nt: int, rb_pad: int, ch: int,
+                         pay_dtype: str = "float32"):
+    nch = pl.cdiv(nt, _CHUNK)
+    acc_rows = rb_pad + 8
+    multi = rb_pad <= _MULTI_ACC_MAX_ROWS
+    n_acc = _UNROLL if multi else 1
+
+    kernel = _make_weighted_kernel(nch, _CHUNK, ch)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bh, acc_rows, 4 * ch), jnp.float32),
+        grid=(bh, nch),
+        in_specs=[
+            pl.BlockSpec((_CHUNK,), lambda b, c: (b * nch + c,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, _CHUNK, ch), lambda b, c: (b, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, _CHUNK), lambda b, c: (b, 0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[pltpu.VMEM((acc_rows, 4 * ch), jnp.float32)] * n_acc
+        + [pltpu.VMEM((_CHUNK, 4 * ch), jnp.float32),
+           pltpu.SemaphoreType.DMA],
+    )
+
+
+def scatter_add_rows_weighted(idx, g, w4, rb: int):
+    """acc[b, idx[b, t]] += concat_c(w4[b, c, t] * g[b, t]) with f32
+    accumulation — the quad-row cotangent scatter with the corner expansion
+    fused into the kernel.
+
+    idx: (BH, NT) int32, entries RELATIVE to the bh slice, in [0, rb)
+    g:   (BH, NT, CH) float — the shared tap cotangent rows
+    w4:  (BH, 4, NT) f32 — per-corner weights
+    returns (BH, rb, 4*CH) f32
+    """
+    bh, nt = idx.shape
+    ch = g.shape[-1]
+    nt_pad = _round_up(nt, _CHUNK)
+    rb_pad = _round_up(rb, 8)
+
+    idx_p = jnp.full((bh, nt_pad), rb_pad, jnp.int32)
+    idx_p = jax.lax.dynamic_update_slice(idx_p, idx, (0, 0)).reshape(-1)
+    # weights for padded taps are garbage-read from the masked tail block
+    # into the dump rows; sliced off below (same contract as the plain call)
+    out = _build_call_weighted(bh, nt, rb_pad, ch,
+                               jnp.dtype(g.dtype).name)(idx_p, g, w4)
+    return out[:, :rb]
+
+
+@functools.lru_cache(maxsize=None)
+def _build_call_pmajor_weighted(bh: int, p: int, lq: int, rb_pad: int,
+                                ch: int, pay_dtype: str = "float32"):
+    """p-major + weighted: idx (P, BH, LQ_pad), payload g (P, BH, LQ, CH)
+    in the folded gather's native row order, weights (P, BH, 4, LQ); the
+    4*ch quad-row cotangent is expanded in VMEM per chunk (see
+    `_make_weighted_kernel`)."""
+    tpb = _pmajor_tpb(lq)
+    nlc = pl.cdiv(lq, tpb)
+    nch = p * nlc
+    acc_rows = rb_pad + 8
+    multi = rb_pad <= _MULTI_ACC_MAX_ROWS
+    n_acc = _UNROLL if multi else 1
+
+    if tpb % 1024 == 0:
+        idx_spec = pl.BlockSpec(
+            (tpb,),
+            lambda b, c: (((c // nlc) * bh + b) * nlc + c % nlc,),
+            memory_space=pltpu.SMEM)
+        idx_at = lambda ref, t: ref[t]
+    else:
+        idx_spec = pl.BlockSpec(
+            (1, bh, tpb), lambda b, c: (c // nlc, 0, c % nlc),
+            memory_space=pltpu.SMEM)
+        idx_at = lambda ref, t: ref[0, pl.program_id(0), t]
+
+    def kernel(idx_ref, g_ref, w_ref, out_ref, *scratch):
+        accs = scratch[:-2]
+        p_scr = scratch[-2]
+        sem = scratch[-1]
+        b = pl.program_id(0)
+        c = pl.program_id(1)
+        n_acc_l = len(accs)
+        stride = tpb // _UNROLL
+
+        @pl.when(c == 0)
+        def _():
+            for a in accs:
+                a[:] = jnp.zeros_like(a)
+
+        cc = jax.lax.broadcasted_iota(jnp.int32, (4, 4 * ch), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (4, 4 * ch), 1) // ch
+        sel = (cc == jj).astype(jnp.float32)
+        e = jax.lax.dot_general(
+            w_ref[0, 0], sel, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)               # (tpb, 4ch)
+        g = g_ref[0, 0].astype(jnp.float32)                   # (tpb, ch)
+        p_scr[:] = jnp.concatenate([g, g, g, g], axis=1) * e
+
+        def body(i, _):
+            for k in range(_UNROLL):
+                base_t = pl.multiple_of(k * stride + i * 8, 8)
+                row = p_scr[pl.ds(base_t, 8), :]
+                a = accs[k % n_acc_l]
+                for r in range(8):
+                    j = idx_at(idx_ref, base_t + r)
+                    a[pl.ds(j, 1), :] = (a[pl.ds(j, 1), :] + row[r:r + 1, :])
+            return 0
+
+        jax.lax.fori_loop(0, stride // 8, body, 0)
+
+        @pl.when(c == nch - 1)
+        def _():
+            if n_acc_l > 1:
+                accs[0][:] = (accs[0][:] + accs[1][:]
+                              + accs[2][:] + accs[3][:])
+            dma = pltpu.make_async_copy(accs[0], out_ref.at[b], sem)
+            dma.start()
+            dma.wait()
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bh, acc_rows, 4 * ch), jnp.float32),
+        grid=(bh, nch),
+        in_specs=[
+            idx_spec,
+            pl.BlockSpec((1, 1, tpb, ch),
+                         lambda b, c: (c // nlc, b, c % nlc, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 4, tpb),
+                         lambda b, c: (c // nlc, b, 0, c % nlc),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[pltpu.VMEM((acc_rows, 4 * ch), jnp.float32)] * n_acc
+        + [pltpu.VMEM((tpb, 4 * ch), jnp.float32),
+           pltpu.SemaphoreType.DMA],
+    )
+
+
+def scatter_add_rows_pmajor_weighted(idx, g, w4, rb: int):
+    """acc[b, idx[p, b, t]] += concat_c(w4[p, b, c, t] * g[p, b, t]), taps in
+    the folded gather's native p-major order with in-kernel corner expansion.
+
+    idx: (P, BH, LQ) int32, entries RELATIVE to the bh slice, in [0, rb)
+    g:   (P, BH, LQ, CH) float — shared tap cotangent rows
+    w4:  (P, BH, 4, LQ) f32 — per-corner bilinear weights
+    returns (BH, rb, 4*CH) f32
+    """
+    p, bh, lq = idx.shape
+    ch = g.shape[-1]
+    tpb = _pmajor_tpb(lq)
+    lq_pad = _round_up(lq, tpb)
+    rb_pad = _round_up(rb, 8)
+
+    # only idx is padded (padded taps -> dump rows); the payload/weight tail
+    # blocks rely on Pallas' masked partial reads — garbage rows expand into
+    # p_scr but their taps route to the dump rows and are sliced off
+    idx_p = jnp.full((p, bh, lq_pad), rb_pad, jnp.int32)
+    idx_p = jax.lax.dynamic_update_slice(idx_p, idx, (0, 0, 0))
+    if tpb % 1024 == 0:
+        idx_p = idx_p.reshape(-1)
+    out = _build_call_pmajor_weighted(bh, p, lq, rb_pad, ch,
+                                      jnp.dtype(g.dtype).name)(idx_p, g, w4)
+    return out[:, :rb]
+
+
 def scatter_add_rows(idx, payload, rb: int):
     """acc[b, idx[b, t]] += payload[b, t] with f32 accumulation.
 

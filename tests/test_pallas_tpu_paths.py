@@ -177,3 +177,100 @@ def test_pallas_fused_combine_forward_matches_unfused():
         pytest.skip(f"no TPU: {status['skip']}")
     for name, err in status["errs"].items():
         assert err < 2e-2, (name, err)   # bf16 combine-order tolerance
+
+
+_CHILD_INSTANCE = r"""
+import json, sys
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", r"%(cache)s")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+if jax.default_backend() not in ("tpu",):
+    print(json.dumps({"skip": f"backend {jax.default_backend()}"}))
+    sys.exit(0)
+
+sys.path.insert(0, r"%(repo)s")
+from boxer_tpu.ops.box_attention import instance_attention
+from boxer_tpu.ops.pallas.scatter_accum import pallas_scatter_supported
+
+K = 14
+P = K * K
+SHAPES = ((50, 76), (25, 38))
+B, NH, NL, CH, LQ = 1, 2, 2, 32, 300
+assert pallas_scatter_supported(4 * CH, P * LQ)
+
+rng = np.random.RandomState(11)
+value = rng.rand(B, sum(h * w for h, w in SHAPES), NH, CH
+                 ).astype(np.float32) * 0.01
+loc = rng.uniform(0.05, 0.95, (B, LQ, NH, NL, P, 2)).astype(np.float32)
+sw = rng.rand(B, LQ, NH, NL, P).astype(np.float32)
+sw /= sw.sum(axis=(-1, -2), keepdims=True)
+lw = rng.rand(B, LQ, NH, NL, P).astype(np.float32)
+lw /= lw.sum(axis=3, keepdims=True)
+
+
+def f(v, l, s, w):
+    out, mask = instance_attention(v, SHAPES, l, s, w, kernel_size=K)
+    return (out.astype(jnp.float32).sum()
+            + (mask.astype(jnp.float32) ** 2).sum())
+
+
+gv, gl, gs, gw = jax.jit(jax.grad(f, argnums=(0, 1, 2, 3)))(value, loc, sw, lw)
+np.savez(sys.argv[1], gv=np.asarray(gv, np.float32),
+         gl=np.asarray(gl, np.float32), gs=np.asarray(gs, np.float32),
+         gw=np.asarray(gw, np.float32))
+print(json.dumps({"ok": True}))
+"""
+
+
+def test_pallas_weighted_pmajor_scatter_instance_backward(tmp_path):
+    """Instance-attention backward on TPU (weighted p-major Pallas scatter +
+    in-kernel corner expansion) vs this process's CPU/XLA-fallback grads."""
+    cache = os.path.join(REPO, ".jax_cache")
+    child = _CHILD_INSTANCE % {"cache": cache, "repo": REPO}
+    out_npz = str(tmp_path / "tpu_grads.npz")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORM_NAME", "JAX_PLATFORMS", "XLA_FLAGS")}
+    proc = subprocess.run([sys.executable, "-c", child, out_npz],
+                          capture_output=True, text=True, timeout=540,
+                          cwd=REPO, env=env)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    status = json.loads(proc.stdout.strip().splitlines()[-1])
+    if "skip" in status:
+        pytest.skip(f"no TPU: {status['skip']}")
+
+    tpu = np.load(out_npz)
+
+    import jax
+    import jax.numpy as jnp
+
+    from boxer_tpu.ops.box_attention import instance_attention
+
+    K = 14
+    P = K * K
+    SHAPES = ((50, 76), (25, 38))
+    B, NH, NL, CH, LQ = 1, 2, 2, 32, 300
+    rng = np.random.RandomState(11)
+    value = rng.rand(B, sum(h * w for h, w in SHAPES), NH, CH
+                     ).astype(np.float32) * 0.01
+    loc = rng.uniform(0.05, 0.95, (B, LQ, NH, NL, P, 2)).astype(np.float32)
+    sw = rng.rand(B, LQ, NH, NL, P).astype(np.float32)
+    sw /= sw.sum(axis=(-1, -2), keepdims=True)
+    lw = rng.rand(B, LQ, NH, NL, P).astype(np.float32)
+    lw /= lw.sum(axis=3, keepdims=True)
+
+    def f(v, l, s, w):
+        out, mask = instance_attention(v, SHAPES, l, s, w, kernel_size=K)
+        return (out.astype(jnp.float32).sum()
+                + (mask.astype(jnp.float32) ** 2).sum())
+
+    grads = jax.jit(jax.grad(f, argnums=(0, 1, 2, 3)))(value, loc, sw, lw)
+    for name, cpu_g in zip(("gv", "gl", "gs", "gw"), grads):
+        ref = np.asarray(cpu_g, np.float32)
+        got = tpu[name]
+        scale = max(np.abs(ref).max(), 1e-6)
+        err = np.abs(got - ref).max() / scale
+        assert err < 5e-3, (name, err)

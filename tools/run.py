@@ -27,8 +27,25 @@ def get_parser():
     return parser
 
 
+def _force_platform_from_env():
+    """Honor JAX_PLATFORMS/JAX_PLATFORM_NAME before first jax use.
+
+    Plugin backends (e.g. tunneled TPUs) can take priority over the env vars
+    alone; `jax.config.update("jax_platforms", ...)` is authoritative. Without
+    this, `JAX_PLATFORMS=cpu python tools/run.py ...` still initializes the
+    TPU plugin — and hangs if the chip is unreachable.
+    """
+    plat = os.environ.get("JAX_PLATFORMS") or os.environ.get(
+        "JAX_PLATFORM_NAME")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 def run():
     args = get_parser().parse_args()
+    _force_platform_from_env()
 
     # multi-host rendezvous (Slurm/TPU-pod autodetect parity:
     # reference `distributed.py:231-289`): jax.distributed reads the
