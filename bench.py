@@ -30,10 +30,11 @@ jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BASELINE_FPS = 12.5
+BASELINE_FPS_R101 = 10.0  # reference README.md:72-85 (BoxeR-R101-3x segm)
 
 
 def _measure(use_mask: bool, h: int = 800, w: int = 1216,
-             iters: int = 20) -> float:
+             iters: int = 20, backbone: str = "resnet50") -> float:
     from boxer_tpu.models.boxer2d import BoxeR2D
     from boxer_tpu.evaluate.postprocess import coco_postprocess
 
@@ -47,7 +48,7 @@ def _measure(use_mask: bool, h: int = 800, w: int = 1216,
         dim_feedforward=1024,
         num_queries=300,
         use_mask=use_mask,
-        backbone_arch="resnet50",
+        backbone_arch=backbone,
         dtype=jnp.bfloat16,
     )
 
@@ -98,6 +99,12 @@ def main():
         extra["train_det_bs1_mfu_pct"] = round(r["mfu"] * 100, 2)
     except Exception as e:  # noqa: BLE001 — train line is best-effort
         extra["train_det_bs1_ms"] = f"failed: {str(e)[:60]}"
+    try:
+        r101_fps = _measure(use_mask=True, backbone="resnet101")
+        extra["r101_segm_fps"] = round(r101_fps, 3)
+        extra["r101_vs_baseline"] = round(r101_fps / BASELINE_FPS_R101, 3)
+    except Exception as e:  # noqa: BLE001 — R101 line is best-effort
+        extra["r101_segm_fps"] = f"failed: {str(e)[:60]}"
     print(json.dumps({
         "metric": "boxer2d_r50_segm_infer_fps",
         "value": round(segm_fps, 3),

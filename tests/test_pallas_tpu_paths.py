@@ -28,6 +28,32 @@ pytestmark = pytest.mark.slow
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+_CHIP_STATE = {}
+
+
+def _require_chip():
+    """Fast-skip when the TPU is unreachable. Backend init on a downed
+    tunnel HANGS (it does not error), so without this probe every test here
+    burns its full 540 s subprocess timeout; one cached 150 s probe covers
+    the module."""
+    if "up" not in _CHIP_STATE:
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("JAX_PLATFORM_NAME", "JAX_PLATFORMS",
+                            "XLA_FLAGS")}
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.numpy.zeros(1).block_until_ready(); "
+                 "print(jax.default_backend())"],
+                capture_output=True, text=True, timeout=150, env=env)
+            _CHIP_STATE["up"] = (proc.returncode == 0
+                                 and proc.stdout.strip() == "tpu")
+        except subprocess.TimeoutExpired:
+            _CHIP_STATE["up"] = False
+    if not _CHIP_STATE["up"]:
+        pytest.skip("TPU unreachable (probe timed out or non-tpu backend)")
+
+
 _CHILD = r"""
 import json, sys
 import numpy as np
@@ -71,6 +97,7 @@ print(json.dumps({"ok": True}))
 @pytest.mark.parametrize("lq,p", [(9000, 4), (600, 16)],
                          ids=["flat_scatter", "pmajor_scatter"])
 def test_pallas_scatter_backward_matches_cpu(tmp_path, lq, p):
+    _require_chip()
     cache = os.path.join(REPO, ".jax_cache")
     child = _CHILD % {"cache": cache, "repo": REPO, "lq": lq, "p": p}
     out_npz = str(tmp_path / "tpu_grads.npz")
@@ -164,6 +191,7 @@ print(json.dumps({"ok": True, "errs": errs}))
 def test_pallas_fused_combine_forward_matches_unfused():
     """Inference-path fused combine+reduce kernel (fold=True) vs the XLA
     folded chain at encoder (LQ=18071) and decoder (LQ=300) scale."""
+    _require_chip()
     cache = os.path.join(REPO, ".jax_cache")
     child = _CHILD_FUSED % {"cache": cache, "repo": REPO}
     env = {k: v for k, v in os.environ.items()
@@ -229,6 +257,7 @@ print(json.dumps({"ok": True}))
 def test_pallas_weighted_pmajor_scatter_instance_backward(tmp_path):
     """Instance-attention backward on TPU (weighted p-major Pallas scatter +
     in-kernel corner expansion) vs this process's CPU/XLA-fallback grads."""
+    _require_chip()
     cache = os.path.join(REPO, ".jax_cache")
     child = _CHILD_INSTANCE % {"cache": cache, "repo": REPO}
     out_npz = str(tmp_path / "tpu_grads.npz")
