@@ -176,6 +176,16 @@ class COCOEval:
         g_area = np.asarray([g.get("area", g["bbox"][2] * g["bbox"][3])
                              for g in gt], np.float64)
         g_crowd = np.asarray([g.get("iscrowd", 0) for g in gt], bool)
+        # pycocotools _prepare: explicit gt['ignore'], plus — for keypoints —
+        # annotations with no labeled keypoint are ignored entirely
+        g_base_ignore = np.asarray([bool(g.get("ignore", 0)) for g in gt],
+                                   bool)
+        if self.iou_type == "keypoints":
+            nkp = [g.get("num_keypoints",
+                         int((np.asarray(g["keypoints"],
+                                         np.float64)[2::3] > 0).sum()))
+                   for g in gt]
+            g_base_ignore |= np.asarray(nkp, np.int64) == 0
 
         # order gts: non-ignore first per area range is handled by sort key
         ious_full = self._ious(dt, gt)  # (D, G)
@@ -190,23 +200,23 @@ class COCOEval:
             d_area = np.asarray(
                 [rle_area(d["segmentation"]) for d in dt], np.float64)
         elif self.iou_type == "keypoints":
-            # detection area = keypoint-extent box area (pycocotools
-            # COCO.loadRes for keypoint results)
+            # detection area = keypoint-extent box area; pycocotools
+            # COCO.loadRes OVERWRITES any provided bbox area for keypoint
+            # results, so the extent (incl. unlabeled (0,0) points) is
+            # authoritative
             d_area = np.empty(D, np.float64)
             for i, d in enumerate(dt):
-                if "bbox" in d:
-                    d_area[i] = d["bbox"][2] * d["bbox"][3]
-                else:
-                    kp = np.asarray(d["keypoints"], np.float64).reshape(-1, 3)
-                    d_area[i] = ((kp[:, 0].max() - kp[:, 0].min())
-                                 * (kp[:, 1].max() - kp[:, 1].min()))
+                kp = np.asarray(d["keypoints"], np.float64).reshape(-1, 3)
+                d_area[i] = ((kp[:, 0].max() - kp[:, 0].min())
+                             * (kp[:, 1].max() - kp[:, 1].min()))
         else:
             d_area = np.asarray([d["bbox"][2] * d["bbox"][3] for d in dt],
                                 np.float64)
 
         record = {"img_id": img_id, "scores": d_scores, "areas": {}}
         for area_name, (a0, a1) in self.area_rng.items():
-            g_ignore = g_crowd | (g_area < a0) | (g_area > a1)
+            g_ignore = (g_crowd | g_base_ignore
+                        | (g_area < a0) | (g_area > a1))
             # sort gts: non-ignored first (pycocotools gtind ordering)
             g_order = np.argsort(g_ignore, kind="stable")
             ious = ious_full[:, g_order] if G else ious_full

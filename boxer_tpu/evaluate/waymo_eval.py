@@ -342,19 +342,35 @@ def _evaluate_official(results, iou_fn, ap_mode) -> Dict[str, float]:
             buckets[(cls, lvl)]["num_gt"] += int((g_lvl <= lvl).sum())
 
         # detections are score-sorted; cutoff c keeps the first n(c) rows.
+        # Exact reduction: a row whose max IoU is < thr can never be matched
+        # (hungarian_match drops below-thr pairs after the solve, and its
+        # zero-weight row removes nothing from the optimum over the rest),
+        # so only FEASIBLE rows need solving — one solve per distinct
+        # feasible count (<= #rows overlapping a gt + 1, typically a handful
+        # per frame·class instead of up to 101).
         n_at = np.searchsorted(-d_sc, -cut, side="right")
-        prev_n = -1
-        match = None
+        feasible = ((ious >= thr).any(axis=1) if ious.size
+                    else np.zeros(len(d_box), bool))
+        feas_idx = np.flatnonzero(feasible)
+        feas_cum = np.concatenate([[0], np.cumsum(feasible)])
+        sub_cache = {}
+
+        def match_at(n):
+            k = int(feas_cum[n])
+            if k not in sub_cache:
+                sub_cache[k] = hungarian_match(ious[feas_idx[:k]], thr)
+            m = np.full(n, -1, np.int64)
+            m[feas_idx[:k]] = sub_cache[k]
+            return m
+
         envelope_match = None
         for ci in range(nc):
             n = int(n_at[ci])
-            if n != prev_n:
-                match = hungarian_match(ious[:n], thr)
-                prev_n = n
-                if n == len(d_box):
-                    envelope_match = match
             if n == 0:
                 continue
+            match = match_at(n)
+            if n == len(d_box):
+                envelope_match = match
             is_tp = match >= 0
             m_lvl = np.where(is_tp, g_lvl[np.clip(match, 0, None)]
                              if len(g_lvl) else 0, 3)
@@ -365,7 +381,7 @@ def _evaluate_official(results, iou_fn, ap_mode) -> Dict[str, float]:
                 buckets[(cls, lvl)]["fp"][ci] += fp
         if ap_mode == "envelope":
             if envelope_match is None:
-                envelope_match = hungarian_match(ious, thr)
+                envelope_match = match_at(len(d_box))
             is_tp = envelope_match >= 0
             m_lvl = np.where(is_tp, g_lvl[np.clip(envelope_match, 0, None)]
                              if len(g_lvl) else 0, 3)

@@ -191,11 +191,31 @@ def _take_rows_vjp(stride: int, bh: int, pmajor_p: int = 0):
     return take_rows
 
 
+def _lane_tree_sum(x):
+    """(N, ch) -> (N,) lane-TREE reduction: every step an aligned lane slice
+    + add. RULE 4: a jnp.sum over lanes fuses the producing gather into a
+    multiply-reduce loop fusion, demoting it to a serial emitter (measured
+    44.7 ms/step vs 5.8 for the tree arrangement)."""
+    while x.shape[-1] > 1:
+        w = x.shape[-1]
+        if w % 2:                        # non-pow2 ch (CPU fallback tests)
+            x = jnp.pad(x, ((0, 0), (0, 1)))
+            w += 1
+        x = x[:, :w // 2] + x[:, w // 2:w]
+    return x[:, 0]
+
+
 @functools.lru_cache(maxsize=None)
 def _sample_taps_vjp(stride: int, bh: int):
     """take + corner-combine of ONE tap with a weighted Pallas d_table
-    scatter: sample(table, idx, w4) = sum_c w4[:, c] * take(table, idx)[:,
-    c*ch:(c+1)*ch].
+    scatter: sample(table, idx, w4) = sum_c w4[..., c, :] * take(table,
+    idx)[:, c*ch:(c+1)*ch].
+
+    Two layouts, selected by idx rank at trace time:
+      - flat (per-tap path):  idx (BH, LQ),    w4 (BH, 4, LQ)
+      - p-major (folded large-P instance path): idx (P, BH, LQ),
+        w4 (P, BH, 4, LQ)
+    Returns the combined (N, ch) f32 tap contribution in idx's row order.
 
     Why the wider VJP boundary (vs `_take_rows_vjp`, which wraps only the
     take): leaving the combine on XLA AD materializes the (N, 4*ch) quad-row
@@ -203,17 +223,15 @@ def _sample_taps_vjp(stride: int, bh: int):
     reshape+copy row-major into the scatter kernel — trace-measured ~24
     ms/train-step of pure data formatting at encoder scale. Here the
     backward hands the kernel the SHARED (N, ch) tap cotangent plus the
-    (4, N) corner weights and the kernel expands the quad rows in VMEM
+    corner weights and the kernel expands the quad rows in VMEM
     (ops/pallas/scatter_accum.py:_make_weighted_kernel). d_w4 is recomputed
     from a second take (the backward already recomputes forward gathers
-    under remat, so the fetch count is unchanged).
-
-    idx: (BH, LQ) global quad-table rows; w4: (BH, 4, LQ) f32.
-    Returns the (BH*LQ, ch) f32 tap contribution.
+    under remat, so the fetch count is unchanged) consumed by the lane-tree
+    reduction (`_lane_tree_sum`).
     """
 
     def _combine(vals, w4, ch):
-        wc = lambda c: w4[:, c, :].reshape(-1, 1)         # (N, 1)
+        wc = lambda c: w4[..., c, :].reshape(-1, 1)       # (N, 1)
         return (vals[:, 0 * ch:1 * ch].astype(jnp.float32) * wc(0)
                 + vals[:, 1 * ch:2 * ch].astype(jnp.float32) * wc(1)
                 + vals[:, 2 * ch:3 * ch].astype(jnp.float32) * wc(2)
@@ -231,116 +249,41 @@ def _sample_taps_vjp(stride: int, bh: int):
         table, idx, w4 = res
         ch4 = table.shape[-1]
         ch = ch4 // 4
+        pmajor = idx.ndim == 3
         lq = idx.shape[-1]
+        p = idx.shape[0] if pmajor else 1
         g = g.astype(jnp.float32)
 
-        # d_w4: recompute the take (same fetch count as the pre-VJP remat).
-        # RULE 4: the take's consumers must stay lane slices + elementwise —
-        # a jnp.sum over lanes fuses the gather into a multiply-reduce loop
-        # fusion, demoting it to a serial emitter (measured 44.7 ms/step vs
-        # 5.8 for AD's arrangement). Lane-TREE reduction keeps every step an
-        # aligned lane slice + add.
         vals = jnp.take(table, idx.reshape(-1), axis=0, mode="clip")
-
-        def lane_sum(x):                                     # (N, ch) -> (N,)
-            while x.shape[-1] > 1:
-                w = x.shape[-1]
-                if w % 2:                # non-pow2 ch (CPU fallback tests)
-                    x = jnp.pad(x, ((0, 0), (0, 1)))
-                    w += 1
-                x = x[:, :w // 2] + x[:, w // 2:w]
-            return x[:, 0]
-
-        d_w = jnp.stack(
-            [lane_sum(vals[:, c * ch:(c + 1) * ch].astype(jnp.float32) * g)
-             for c in range(4)],
-            axis=1).reshape(bh, lq, 4).transpose(0, 2, 1)    # (BH, 4, LQ)
-
-        from boxer_tpu.ops.pallas.scatter_accum import (
-            pallas_scatter_supported,
-            scatter_add_rows_weighted,
-        )
-
-        if pallas_scatter_supported(ch4, lq):
-            base = (jnp.arange(bh, dtype=jnp.int32) * stride)
-            idx_rel = idx.reshape(bh, -1) - base[:, None]
-            d = scatter_add_rows_weighted(
-                idx_rel, g.reshape(bh, lq, ch), w4, stride)
-            d_table = d.reshape(bh * stride, ch4).astype(table.dtype)
+        parts = [_lane_tree_sum(
+            vals[:, c * ch:(c + 1) * ch].astype(jnp.float32) * g)
+            for c in range(4)]
+        if pmajor:
+            d_w = jnp.stack([x.reshape(p, bh, lq) for x in parts],
+                            axis=2)                          # (P, BH, 4, LQ)
         else:
-            wc = lambda c: w4[:, c, :].reshape(-1, 1)
-            d_vals = jnp.concatenate(
-                [g * wc(c) for c in range(4)], axis=-1)
-            d_table = (jnp.zeros((bh * stride, ch4), jnp.float32)
-                       .at[idx.reshape(-1)].add(d_vals)
-                       .astype(table.dtype))
-        return d_table, None, d_w
-
-    sample_taps.defvjp(fwd, bwd)
-    return sample_taps
-
-
-@functools.lru_cache(maxsize=None)
-def _sample_taps_pmajor_vjp(stride: int, bh: int):
-    """p-major variant of `_sample_taps_vjp` for the folded large-P layout
-    (instance attention): sample(table, idx (P, BH, LQ), w4 (P, BH, 4, LQ))
-    returns the combined taps (P*BH*LQ, ch) f32 in p-major row order; the
-    backward hands the Pallas kernel the shared (P, BH, LQ, ch) tap
-    cotangent + corner weights and expands the (N, 4*ch) quad rows in VMEM
-    (`scatter_accum.py:_build_call_pmajor_weighted`) instead of
-    materializing them host-side."""
-
-    def _combine(vals, w4, ch):
-        wc = lambda c: w4[:, :, c, :].reshape(-1, 1)
-        return (vals[:, 0 * ch:1 * ch].astype(jnp.float32) * wc(0)
-                + vals[:, 1 * ch:2 * ch].astype(jnp.float32) * wc(1)
-                + vals[:, 2 * ch:3 * ch].astype(jnp.float32) * wc(2)
-                + vals[:, 3 * ch:4 * ch].astype(jnp.float32) * wc(3))
-
-    @jax.custom_vjp
-    def sample_taps(table, idx, w4):
-        vals = jnp.take(table, idx.reshape(-1), axis=0, mode="clip")
-        return _combine(vals, w4, table.shape[-1] // 4)
-
-    def fwd(table, idx, w4):
-        return sample_taps(table, idx, w4), (table, idx, w4)
-
-    def bwd(res, g):
-        table, idx, w4 = res
-        ch4 = table.shape[-1]
-        ch = ch4 // 4
-        p, _, lq = idx.shape
-        g = g.astype(jnp.float32)
-
-        vals = jnp.take(table, idx.reshape(-1), axis=0, mode="clip")
-
-        def lane_sum(x):
-            while x.shape[-1] > 1:
-                w = x.shape[-1]
-                if w % 2:
-                    x = jnp.pad(x, ((0, 0), (0, 1)))
-                    w += 1
-                x = x[:, :w // 2] + x[:, w // 2:w]
-            return x[:, 0]
-
-        d_w = jnp.stack(
-            [lane_sum(vals[:, c * ch:(c + 1) * ch].astype(jnp.float32) * g)
-             .reshape(p, bh, lq) for c in range(4)],
-            axis=2)                                          # (P, BH, 4, LQ)
+            d_w = jnp.stack(parts, axis=1).reshape(
+                bh, lq, 4).transpose(0, 2, 1)                # (BH, 4, LQ)
 
         from boxer_tpu.ops.pallas.scatter_accum import (
             pallas_scatter_supported,
             scatter_add_rows_pmajor_weighted,
+            scatter_add_rows_weighted,
         )
 
         if pallas_scatter_supported(ch4, p * lq):
             base = (jnp.arange(bh, dtype=jnp.int32) * stride)
-            idx_rel = idx - base[None, :, None]
-            d = scatter_add_rows_pmajor_weighted(
-                idx_rel, g.reshape(p, bh, lq, ch), w4, stride)
+            if pmajor:
+                d = scatter_add_rows_pmajor_weighted(
+                    idx - base[None, :, None],
+                    g.reshape(p, bh, lq, ch), w4, stride)
+            else:
+                d = scatter_add_rows_weighted(
+                    idx.reshape(bh, -1) - base[:, None],
+                    g.reshape(bh, lq, ch), w4, stride)
             d_table = d.reshape(bh * stride, ch4).astype(table.dtype)
         else:
-            wc = lambda c: w4[:, :, c, :].reshape(-1, 1)
+            wc = lambda c: w4[..., c, :].reshape(-1, 1)
             d_vals = jnp.concatenate(
                 [g * wc(c) for c in range(4)], axis=-1)
             d_table = (jnp.zeros((bh * stride, ch4), jnp.float32)
@@ -350,6 +293,10 @@ def _sample_taps_pmajor_vjp(stride: int, bh: int):
 
     sample_taps.defvjp(fwd, bwd)
     return sample_taps
+
+
+# p-major entry point is the same rank-dispatching callable
+_sample_taps_pmajor_vjp = _sample_taps_vjp
 
 
 def _box_attention_qminor_impl(value, shapes: Shapes, gx, gy, attn_weight):

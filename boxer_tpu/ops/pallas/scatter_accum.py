@@ -210,7 +210,9 @@ def scatter_add_rows_pmajor(idx, payload, rb: int):
     return out[:, :rb]
 
 
-def _make_weighted_kernel(nch: int, tpb: int, ch: int):
+def _make_weighted_kernel(nch: int, tpb: int, ch: int,
+                          idx_at=lambda ref, t: ref[t],
+                          blk_at=lambda ref: ref[0]):
     """Weighted variant: the payload is the layer's SHARED (tpb, ch) d_out
     block plus a (4, tpb) corner-weight block; the 4*ch-lane quad-row
     cotangent [w0*g | w1*g | w2*g | w3*g] is expanded in VMEM — the host
@@ -222,7 +224,11 @@ def _make_weighted_kernel(nch: int, tpb: int, ch: int):
     dot_general per chunk turns the lane-major (4, tpb) weights into a
     (tpb, 4*ch) corner-slice broadcast E, contracting over the 4-dim — a
     free transpose; the body then tiles each aligned 8-row g block across
-    the 4 corner slices in registers and multiplies by E's rows."""
+    the 4 corner slices in registers and multiplies by E's rows.
+
+    `idx_at(ref, t)` / `blk_at(ref)` abstract the block shapes so the flat
+    and p-major builders share this body (their BlockSpecs differ only in
+    leading singleton dims and the SMEM idx layout)."""
 
     def kernel(idx_ref, g_ref, w_ref, out_ref, *scratch):
         accs = scratch[:-2]
@@ -247,9 +253,9 @@ def _make_weighted_kernel(nch: int, tpb: int, ch: int):
         jj = jax.lax.broadcasted_iota(jnp.int32, (4, 4 * ch), 1) // ch
         sel = (cc == jj).astype(jnp.float32)
         e = jax.lax.dot_general(
-            w_ref[0], sel, (((0,), (0,)), ((), ())),
+            blk_at(w_ref), sel, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)               # (tpb, 4ch)
-        g = g_ref[0].astype(jnp.float32)                      # (tpb, ch)
+        g = blk_at(g_ref).astype(jnp.float32)                 # (tpb, ch)
         p_scr[:] = jnp.concatenate([g, g, g, g], axis=1) * e
 
         def body(i, _):
@@ -258,7 +264,7 @@ def _make_weighted_kernel(nch: int, tpb: int, ch: int):
                 row = p_scr[pl.ds(base_t, 8), :]
                 a = accs[k % n_acc]
                 for r in range(8):
-                    j = idx_ref[base_t + r]
+                    j = idx_at(idx_ref, base_t + r)
                     a[pl.ds(j, 1), :] = (a[pl.ds(j, 1), :] + row[r:r + 1, :])
             return 0
 
@@ -354,50 +360,8 @@ def _build_call_pmajor_weighted(bh: int, p: int, lq: int, rb_pad: int,
             memory_space=pltpu.SMEM)
         idx_at = lambda ref, t: ref[0, pl.program_id(0), t]
 
-    def kernel(idx_ref, g_ref, w_ref, out_ref, *scratch):
-        accs = scratch[:-2]
-        p_scr = scratch[-2]
-        sem = scratch[-1]
-        b = pl.program_id(0)
-        c = pl.program_id(1)
-        n_acc_l = len(accs)
-        stride = tpb // _UNROLL
-
-        @pl.when(c == 0)
-        def _():
-            for a in accs:
-                a[:] = jnp.zeros_like(a)
-
-        cc = jax.lax.broadcasted_iota(jnp.int32, (4, 4 * ch), 0)
-        jj = jax.lax.broadcasted_iota(jnp.int32, (4, 4 * ch), 1) // ch
-        sel = (cc == jj).astype(jnp.float32)
-        e = jax.lax.dot_general(
-            w_ref[0, 0], sel, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)               # (tpb, 4ch)
-        g = g_ref[0, 0].astype(jnp.float32)                   # (tpb, ch)
-        p_scr[:] = jnp.concatenate([g, g, g, g], axis=1) * e
-
-        def body(i, _):
-            for k in range(_UNROLL):
-                base_t = pl.multiple_of(k * stride + i * 8, 8)
-                row = p_scr[pl.ds(base_t, 8), :]
-                a = accs[k % n_acc_l]
-                for r in range(8):
-                    j = idx_at(idx_ref, base_t + r)
-                    a[pl.ds(j, 1), :] = (a[pl.ds(j, 1), :] + row[r:r + 1, :])
-            return 0
-
-        jax.lax.fori_loop(0, stride // 8, body, 0)
-
-        @pl.when(c == nch - 1)
-        def _():
-            if n_acc_l > 1:
-                accs[0][:] = (accs[0][:] + accs[1][:]
-                              + accs[2][:] + accs[3][:])
-            dma = pltpu.make_async_copy(accs[0], out_ref.at[b], sem)
-            dma.start()
-            dma.wait()
-
+    kernel = _make_weighted_kernel(nch, tpb, ch, idx_at=idx_at,
+                                   blk_at=lambda ref: ref[0, 0])
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((bh, acc_rows, 4 * ch), jnp.float32),

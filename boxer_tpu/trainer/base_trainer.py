@@ -84,10 +84,6 @@ class BaseTrainer:
         dp = dist.get("dp")
         self.mesh = create_mesh(dp=dp, mp=mp, sp=sp)
         self.seq_shard = sp > 1
-        if self.seq_shard:
-            from boxer_tpu.parallel.sharding import expect_sequence_parallel
-
-            expect_sequence_parallel(True)
         set_default_mesh(self.mesh)
         self.zero1 = bool(dist.get("zero1", True))
         self.logger.info(
@@ -96,6 +92,14 @@ class BaseTrainer:
 
         self.load_task()
         self.load_model_and_optimizer()
+        if self.seq_shard:
+            # declare AFTER model init: init traces outside the mesh context
+            # (its seq_constraints are no-ops on the untrained params), but
+            # every step fn is mesh-wrapped — from here on a constraint that
+            # fails to apply is a hard error, not silent unsharded training.
+            from boxer_tpu.parallel.sharding import expect_sequence_parallel
+
+            expect_sequence_parallel(True)
         self._init_intervals_and_checkpoint()
 
     # ------------------------------------------------------------------

@@ -294,3 +294,38 @@ def test_keypoints_unlabeled_gt_box_falloff():
     kps[0, :, 0] = 25.0
     kps[0, :, 1] = 40.0
     assert oks_matrix(kps, [gt])[0, 0] == pytest.approx(1.0)
+
+
+def test_keypoints_num_keypoints0_gt_is_ignored():
+    """pycocotools _prepare: for iouType='keypoints' a gt with
+    num_keypoints==0 is IGNORED — a detection matching it is neither TP nor
+    FP, and it does not count toward recall's gt total."""
+    from boxer_tpu.evaluate.coco_eval import COCOEval
+
+    ds = _kp_gt_dataset()
+    ds["annotations"].append(
+        {"id": 2, "image_id": 1, "category_id": 1,
+         "bbox": [100.0, 100.0, 40.0, 80.0], "area": 3200.0, "iscrowd": 0,
+         "keypoints": [0.0] * 51, "num_keypoints": 0})
+    coco = COCO(dataset=ds)
+
+    # detection 1: perfect match of the labeled gt; detection 2: inside the
+    # unlabeled gt's expanded box (OKS 1 via the k1==0 falloff) — it must be
+    # matched-to-ignored (dropped), not become a FP or a second TP
+    kps1 = [0.0] * 51
+    kps1[0:3] = [20.0, 20.0, 1.0]
+    kps1[3:6] = [30.0, 30.0, 1.0]
+    kps2 = [0.0] * 51
+    for k in range(17):
+        kps2[3 * k:3 * k + 3] = [115.0, 130.0, 1.0]
+    results = [
+        {"image_id": 1, "category_id": 1, "keypoints": kps1, "score": 0.9},
+        {"image_id": 1, "category_id": 1, "keypoints": kps2, "score": 0.8},
+    ]
+    ev = COCOEval(coco, "keypoints")
+    ev.evaluate(results)
+    ev.accumulate()
+    stats = ev.summarize()
+    # with the unlabeled gt ignored: 1 gt, 1 TP, det 2 ignored -> AP = AR = 1
+    assert stats[0] == pytest.approx(1.0)
+    assert stats[5] == pytest.approx(1.0)

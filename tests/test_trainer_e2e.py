@@ -198,3 +198,29 @@ def test_trainer_end_to_end(tiny_coco_root, tmp_path):
     trainer2 = build_trainer(configuration2)
     trainer2.load()
     assert trainer2.current_update == 3
+
+
+def test_trainer_sp2_loads_and_trains(tiny_coco_root, tmp_path):
+    """Regression: `expect_sequence_parallel(True)` used to be declared
+    BEFORE model init, whose jit traces outside the mesh context — every
+    sp>1 trainer crashed at startup with the strict seq_constraint error.
+    The declaration now happens after init; steps stay mesh-wrapped."""
+    from boxer_tpu.parallel import sharding
+    from boxer_tpu.trainer import build_trainer
+    from boxer_tpu.utils.config import Configuration
+
+    save_dir = str(tmp_path / "save_sp2")
+    cfg_path = _write_config(tiny_coco_root, tmp_path, save_dir)
+    configuration = Configuration(
+        config_path=cfg_path,
+        opts=["distributed.sp=2", "training.max_update=1",
+              "training.checkpoint_interval=1000"],
+        extra={"task": "detection", "model": "boxer2d"})
+    trainer = build_trainer(configuration)
+    try:
+        trainer.load()          # <- crashed here before the fix
+        assert trainer.seq_shard
+        trainer.train()
+        assert trainer.current_update == 1
+    finally:
+        sharding.expect_sequence_parallel(False)
