@@ -78,7 +78,7 @@ def _make_kernel(nch: int, tpb: int, idx_at, payload_at):
                 block = payload_at(payload_ref, base_t).astype(jnp.float32)
                 a = accs[k % n_acc]
                 for r in range(8):
-                    j = idx_at(idx_ref, base_t + r)
+                    j = idx_at(idx_ref, base_t + r, b)
                     a[pl.ds(j, 1), :] = (a[pl.ds(j, 1), :]
                                          + block[r:r + 1, :])
             return 0
@@ -107,7 +107,7 @@ def _build_call(bh: int, nt: int, rb_pad: int, ch: int,
 
     kernel = _make_kernel(
         nch, _CHUNK,
-        idx_at=lambda ref, t: ref[t],
+        idx_at=lambda ref, t, b: ref[t],
         payload_at=lambda ref, t: ref[0, pl.ds(t, 8), :])
 
     return pl.pallas_call(
@@ -160,12 +160,12 @@ def _build_call_pmajor(bh: int, p: int, lq: int, rb_pad: int, ch: int,
             (tpb,),
             lambda b, c: (((c // nlc) * bh + b) * nlc + c % nlc,),
             memory_space=pltpu.SMEM)
-        idx_at = lambda ref, t: ref[t]
+        idx_at = lambda ref, t, b: ref[t]
     else:
         idx_spec = pl.BlockSpec(
             (1, bh, tpb), lambda b, c: (c // nlc, 0, c % nlc),
             memory_space=pltpu.SMEM)
-        idx_at = lambda ref, t: ref[0, pl.program_id(0), t]
+        idx_at = lambda ref, t, b: ref[0, b, t]
 
     kernel = _make_kernel(
         nch, tpb, idx_at=idx_at,
@@ -211,7 +211,7 @@ def scatter_add_rows_pmajor(idx, payload, rb: int):
 
 
 def _make_weighted_kernel(nch: int, tpb: int, ch: int,
-                          idx_at=lambda ref, t: ref[t],
+                          idx_at=lambda ref, t, b: ref[t],
                           blk_at=lambda ref: ref[0]):
     """Weighted variant: the payload is the layer's SHARED (tpb, ch) d_out
     block plus a (4, tpb) corner-weight block; the 4*ch-lane quad-row
@@ -226,7 +226,7 @@ def _make_weighted_kernel(nch: int, tpb: int, ch: int,
     free transpose; the body then tiles each aligned 8-row g block across
     the 4 corner slices in registers and multiplies by E's rows.
 
-    `idx_at(ref, t)` / `blk_at(ref)` abstract the block shapes so the flat
+    `idx_at(ref, t, b)` / `blk_at(ref)` abstract the block shapes so the flat
     and p-major builders share this body (their BlockSpecs differ only in
     leading singleton dims and the SMEM idx layout)."""
 
@@ -264,7 +264,7 @@ def _make_weighted_kernel(nch: int, tpb: int, ch: int,
                 row = p_scr[pl.ds(base_t, 8), :]
                 a = accs[k % n_acc]
                 for r in range(8):
-                    j = idx_at(idx_ref, base_t + r)
+                    j = idx_at(idx_ref, base_t + r, b)
                     a[pl.ds(j, 1), :] = (a[pl.ds(j, 1), :] + row[r:r + 1, :])
             return 0
 
@@ -353,12 +353,12 @@ def _build_call_pmajor_weighted(bh: int, p: int, lq: int, rb_pad: int,
             (tpb,),
             lambda b, c: (((c // nlc) * bh + b) * nlc + c % nlc,),
             memory_space=pltpu.SMEM)
-        idx_at = lambda ref, t: ref[t]
+        idx_at = lambda ref, t, b: ref[t]
     else:
         idx_spec = pl.BlockSpec(
             (1, bh, tpb), lambda b, c: (c // nlc, 0, c % nlc),
             memory_space=pltpu.SMEM)
-        idx_at = lambda ref, t: ref[0, pl.program_id(0), t]
+        idx_at = lambda ref, t, b: ref[0, b, t]
 
     kernel = _make_weighted_kernel(nch, tpb, ch, idx_at=idx_at,
                                    blk_at=lambda ref: ref[0, 0])

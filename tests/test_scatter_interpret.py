@@ -1,0 +1,109 @@
+"""Chip-independent Pallas scatter-kernel logic tests (interpret mode).
+
+The TPU-gated subprocess tests (test_pallas_tpu_paths.py) verify the real
+Mosaic lowering on the chip; these run the SAME kernel bodies under the
+Pallas interpreter on CPU against a loop oracle, so kernel-logic regressions
+(index maps, dump-row padding, corner expansion, multi-accumulator merge)
+are caught in every suite run even when no TPU is reachable.
+"""
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture()
+def interp(monkeypatch):
+    """Force interpret=True for every pallas_call built during the test and
+    clear the build caches so cached TPU-mode callables are not reused."""
+    import boxer_tpu.ops.pallas.scatter_accum as sa
+
+    orig = sa.pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(sa.pl, "pallas_call", patched)
+    for f in (sa._build_call, sa._build_call_pmajor,
+              sa._build_call_weighted, sa._build_call_pmajor_weighted):
+        f.cache_clear()
+    yield sa
+    for f in (sa._build_call, sa._build_call_pmajor,
+              sa._build_call_weighted, sa._build_call_pmajor_weighted):
+        f.cache_clear()
+
+
+def _rel_err(a, b):
+    return np.abs(a - b).max() / max(1e-6, np.abs(b).max())
+
+
+def test_scatter_add_rows_interpret(interp):
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(1)
+    BH, NT, CH, RB = 2, 4096 + 77, 128, 52   # non-multiple NT -> dump rows
+    idx = rng.randint(0, RB, (BH, NT)).astype(np.int32)
+    pay = rng.randn(BH, NT, CH).astype(np.float32)
+    out = np.asarray(interp.scatter_add_rows(
+        jnp.asarray(idx), jnp.asarray(pay), RB))
+    ref = np.zeros((BH, RB, CH), np.float32)
+    for b in range(BH):
+        np.add.at(ref[b], idx[b], pay[b])
+    assert out.shape == (BH, RB, CH)
+    assert _rel_err(out, ref) < 1e-5
+
+
+def test_scatter_add_rows_pmajor_interpret(interp):
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(2)
+    P, BH, LQ, CH, RB = 16, 2, 300, 128, 40  # LQ=300 -> 384 tpb (dump pad)
+    idx = rng.randint(0, RB, (P, BH, LQ)).astype(np.int32)
+    pay = rng.randn(P, BH, LQ, CH).astype(np.float32)
+    out = np.asarray(interp.scatter_add_rows_pmajor(
+        jnp.asarray(idx), jnp.asarray(pay), RB))
+    ref = np.zeros((BH, RB, CH), np.float32)
+    for p in range(P):
+        for b in range(BH):
+            np.add.at(ref[b], idx[p, b], pay[p, b])
+    assert _rel_err(out, ref) < 1e-5
+
+
+def test_scatter_add_rows_weighted_interpret(interp):
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(3)
+    BH, NT, CH, RB = 2, 4096, 32, 64
+    idx = rng.randint(0, RB, (BH, NT)).astype(np.int32)
+    g = rng.randn(BH, NT, CH).astype(np.float32)
+    w4 = rng.rand(BH, 4, NT).astype(np.float32)
+    out = np.asarray(interp.scatter_add_rows_weighted(
+        jnp.asarray(idx), jnp.asarray(g), jnp.asarray(w4), RB))
+    ref = np.zeros((BH, RB, 4 * CH), np.float32)
+    for b in range(BH):
+        quad = np.concatenate([w4[b, c][:, None] * g[b] for c in range(4)],
+                              axis=1)
+        np.add.at(ref[b], idx[b], quad)
+    assert out.shape == (BH, RB, 4 * CH)
+    assert _rel_err(out, ref) < 1e-5
+
+
+def test_scatter_add_rows_pmajor_weighted_interpret(interp):
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(4)
+    P, BH, LQ, CH, RB = 8, 2, 300, 32, 48
+    idx = rng.randint(0, RB, (P, BH, LQ)).astype(np.int32)
+    g = rng.randn(P, BH, LQ, CH).astype(np.float32)
+    w4 = rng.rand(P, BH, 4, LQ).astype(np.float32)
+    out = np.asarray(interp.scatter_add_rows_pmajor_weighted(
+        jnp.asarray(idx), jnp.asarray(g), jnp.asarray(w4), RB))
+    ref = np.zeros((BH, RB, 4 * CH), np.float32)
+    for p in range(P):
+        for b in range(BH):
+            quad = np.concatenate(
+                [w4[p, b, c][:, None] * g[p, b] for c in range(4)], axis=1)
+            np.add.at(ref[b], idx[p, b], quad)
+    assert _rel_err(out, ref) < 1e-5
