@@ -1,8 +1,9 @@
-"""Chip-independent Pallas scatter-kernel logic tests (interpret mode).
+"""Chip-independent Pallas scatter/combine kernel logic tests (interpret
+mode, like tests/test_flash_attention.py).
 
 The TPU-gated subprocess tests (test_pallas_tpu_paths.py) verify the real
 Mosaic lowering on the chip; these run the SAME kernel bodies under the
-Pallas interpreter on CPU against a loop oracle, so kernel-logic regressions
+Pallas interpreter on CPU against loop oracles, so kernel-logic regressions
 (index maps, dump-row padding, corner expansion, multi-accumulator merge)
 are caught in every suite run even when no TPU is reachable.
 """
@@ -14,24 +15,21 @@ pytestmark = pytest.mark.slow
 
 
 @pytest.fixture()
-def interp(monkeypatch):
-    """Force interpret=True for every pallas_call built during the test and
-    clear the build caches so cached TPU-mode callables are not reused."""
+def interp():
+    """Pallas interpret mode; build caches cleared so callables traced in
+    interpret mode are not reused by (or taken from) real-backend runs."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    import boxer_tpu.ops.pallas.combine_reduce as cr
     import boxer_tpu.ops.pallas.scatter_accum as sa
 
-    orig = sa.pl.pallas_call
-
-    def patched(*a, **k):
-        k["interpret"] = True
-        return orig(*a, **k)
-
-    monkeypatch.setattr(sa.pl, "pallas_call", patched)
-    for f in (sa._build_call, sa._build_call_pmajor,
-              sa._build_call_weighted, sa._build_call_pmajor_weighted):
+    caches = (sa._build_call, sa._build_call_pmajor, sa._build_call_weighted,
+              sa._build_call_pmajor_weighted, cr._build_call)
+    for f in caches:
         f.cache_clear()
-    yield sa
-    for f in (sa._build_call, sa._build_call_pmajor,
-              sa._build_call_weighted, sa._build_call_pmajor_weighted):
+    with pltpu.force_tpu_interpret_mode():
+        yield sa
+    for f in caches:
         f.cache_clear()
 
 
@@ -106,4 +104,23 @@ def test_scatter_add_rows_pmajor_weighted_interpret(interp):
             quad = np.concatenate(
                 [w4[p, b, c][:, None] * g[p, b] for c in range(4)], axis=1)
             np.add.at(ref[b], idx[p, b], quad)
+    assert _rel_err(out, ref) < 1e-5
+
+
+def test_fused_combine_reduce_interpret(interp):
+    """Forward combine+reduce kernel vs a numpy oracle (the real-chip
+    comparison lives in test_pallas_tpu_paths)."""
+    import jax.numpy as jnp
+
+    from boxer_tpu.ops.pallas.combine_reduce import fused_combine_reduce
+
+    rng = np.random.RandomState(5)
+    P, M, CH = 4, 4096, 32
+    g = rng.randn(P * M, 4 * CH).astype(np.float32)
+    w = rng.rand(P, 4, M).astype(np.float32)
+    out = np.asarray(fused_combine_reduce(jnp.asarray(g), jnp.asarray(w),
+                                          P, M))
+    g4 = g.reshape(P, M, 4, CH)
+    ref = np.einsum("pmc,pmch->mh", w.transpose(0, 2, 1), g4)
+    assert out.shape == (M, CH)
     assert _rel_err(out, ref) < 1e-5
