@@ -340,9 +340,21 @@ def _paste_masks_np(masks: np.ndarray, boxes_xyxy: np.ndarray,
         x1, y1, x2, y2 = boxes_xyxy[i]
         if x2 <= x1 or y2 <= y1:
             continue
+        # the bilinear sample is zero wherever the grid coord falls outside
+        # (-1, s), i.e. more than half a mask cell beyond the box — so only
+        # the box region (padded by one cell) needs computing; everything
+        # else stays the zeros above. Typically ~10x less work than the
+        # full canvas per mask.
+        cw, chh = (x2 - x1) / s, (y2 - y1) / s
+        xa = max(0, int(np.floor(x1 - cw)))
+        xb = min(w, int(np.ceil(x2 + cw)) + 1)
+        ya = max(0, int(np.floor(y1 - chh)))
+        yb = min(h, int(np.ceil(y2 + chh)) + 1)
+        if xa >= xb or ya >= yb:
+            continue
         # map image pixels into mask grid coords (align_corners=False)
-        gx = (xs - x1) / (x2 - x1) * s - 0.5
-        gy = (ys - y1) / (y2 - y1) * s - 0.5
+        gx = (xs[xa:xb] - x1) / (x2 - x1) * s - 0.5
+        gy = (ys[ya:yb] - y1) / (y2 - y1) * s - 0.5
         gxm, gym = np.meshgrid(gx, gy)
-        out[i] = _bilinear_sample_np(masks[i], gxm, gym)
+        out[i, ya:yb, xa:xb] = _bilinear_sample_np(masks[i], gxm, gym)
     return out
