@@ -440,6 +440,16 @@ _MIN_TAPS = 8192
 def pallas_scatter_supported(ch: int, nt: int = 1 << 30) -> bool:
     """The kernel needs the TPU backend, a 128-multiple lane count (quad
     rows at head_dim 32), and enough taps to amortize per-call overhead.
-    Everything else uses the XLA scatter."""
+    Everything else uses the XLA scatter.
+
+    BOXER_FORCE_PALLAS_SCATTER=1 (tests only) takes the kernel path whenever
+    the lane count allows, regardless of backend/size — combined with the
+    Pallas interpreter this lets the custom-VJP -> kernel integration
+    (relative-index bases, payload reshapes, corner-weight order) run
+    chip-independently."""
+    import os
+
+    if os.environ.get("BOXER_FORCE_PALLAS_SCATTER"):
+        return ch % 128 == 0
     return (jax.default_backend() == "tpu" and ch % 128 == 0
             and nt >= _MIN_TAPS)

@@ -124,3 +124,66 @@ def test_fused_combine_reduce_interpret(interp):
     ref = np.einsum("pmc,pmch->mh", w.transpose(0, 2, 1), g4)
     assert out.shape == (M, CH)
     assert _rel_err(out, ref) < 1e-5
+
+
+def test_weighted_vjp_kernel_integration_interpret(monkeypatch):
+    """Drive the full custom-VJP -> weighted-kernel integration (relative
+    index bases, payload reshapes, corner-weight order) under the
+    interpreter, comparing grads against the XLA-fallback path. On-chip
+    equivalents: test_pallas_tpu_paths.py."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    import jax
+    import jax.numpy as jnp
+
+    import importlib
+
+    # the ops package re-exports the function under the same name, which
+    # shadows the submodule attribute `import ... as` binds to
+    ba = importlib.import_module("boxer_tpu.ops.box_attention")
+    import boxer_tpu.ops.pallas.scatter_accum as sa
+
+    SHAPES = ((30, 46), (15, 23))
+    B, NH, NL, CH, LQ, K = 1, 2, 2, 32, 120, 6
+    rng = np.random.RandomState(7)
+    value = rng.rand(B, sum(h * w for h, w in SHAPES), NH, CH
+                     ).astype(np.float32) * 0.01
+    loc = rng.uniform(0.05, 0.95, (B, LQ, NH, NL, 4, 2)).astype(np.float32)
+    w = rng.rand(B, LQ, NH, NL, 4).astype(np.float32)
+    w /= w.sum(axis=(-1, -2), keepdims=True)
+    iloc = rng.uniform(0.05, 0.95,
+                       (B, LQ, NH, NL, K * K, 2)).astype(np.float32)
+    sw = rng.rand(B, LQ, NH, NL, K * K).astype(np.float32)
+    sw /= sw.sum(axis=(-1, -2), keepdims=True)
+    lw = rng.rand(B, LQ, NH, NL, K * K).astype(np.float32)
+    lw /= lw.sum(axis=3, keepdims=True)
+
+    def f_box(v, l, wt):
+        return ba.box_attention(v, SHAPES, l, wt).astype(jnp.float32).sum()
+
+    def f_inst(v, l, s, ww):
+        out, mask = ba.instance_attention(v, SHAPES, l, s, ww, kernel_size=K)
+        return (out.astype(jnp.float32).sum()
+                + (mask.astype(jnp.float32) ** 2).sum())
+
+    args_box = (jnp.asarray(value), jnp.asarray(loc), jnp.asarray(w))
+    args_inst = (jnp.asarray(value), jnp.asarray(iloc), jnp.asarray(sw),
+                 jnp.asarray(lw))
+    ref_box = jax.grad(f_box, argnums=(0, 1, 2))(*args_box)
+    ref_inst = jax.grad(f_inst, argnums=(0, 1, 2, 3))(*args_inst)
+
+    monkeypatch.setenv("BOXER_FORCE_PALLAS_SCATTER", "1")
+    ba._sample_taps_vjp.cache_clear()
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            got_box = jax.grad(f_box, argnums=(0, 1, 2))(*args_box)
+            got_inst = jax.grad(f_inst, argnums=(0, 1, 2, 3))(*args_inst)
+    finally:
+        ba._sample_taps_vjp.cache_clear()
+        sa._build_call_weighted.cache_clear()
+        sa._build_call_pmajor_weighted.cache_clear()
+
+    for name, a, b in [("box", got_box, ref_box),
+                       ("inst", got_inst, ref_inst)]:
+        for i, (x, y) in enumerate(zip(a, b)):
+            assert _rel_err(np.asarray(x), np.asarray(y)) < 1e-4, (name, i)
