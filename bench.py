@@ -67,10 +67,16 @@ def _measure(use_mask: bool, h: int = 800, w: int = 1216,
 
     @partial(jax.jit, compiler_options=opts)
     def infer(image, mask):
+        if use_mask:
+            # deferred top-k mask decode: the RoI tail runs only on the
+            # selected queries (output-identical to full + coco_postprocess;
+            # parity-tested in tests/test_deferred_mask.py)
+            return model.apply(variables, image, mask, train=False,
+                               inference=True,
+                               postprocess={"canvas_hw": (h, w), "topk": 100})
         out = model.apply(variables, image, mask, train=False, inference=True)
         return coco_postprocess(
-            out["pred_logits"], out["pred_boxes"],
-            out.get("pred_masks") if use_mask else None,
+            out["pred_logits"], out["pred_boxes"], None,
             canvas_hw=(h, w), topk=100)
 
     out = infer(image, mask)

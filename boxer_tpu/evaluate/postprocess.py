@@ -52,6 +52,43 @@ def paste_masks_mxu(masks, boxes_xy, canvas_hw: Tuple[int, int]):
                       precision=jax.lax.Precision.HIGHEST)
 
 
+def select_topk(logits, boxes, *, canvas_hw: Tuple[int, int],
+                topk: int = 100, scale: Optional[jnp.ndarray] = None):
+    """Top-k (query, class) selection + box rescale (the mask-free half of
+    `coco_postprocess`). Returns (scores (B,K), labels (B,K) int32,
+    q (B,K) int32 query indices, boxes (B,K,4) xyxy pixels)."""
+    prob = jax.nn.sigmoid(logits.astype(jnp.float32))
+    b, nq, c = prob.shape
+    k = min(topk, nq * c)
+    scores, idx = jax.lax.top_k(prob.reshape(b, nq * c), k)
+    q = idx // c
+    labels = idx % c
+
+    bx = jnp.take_along_axis(boxes.astype(jnp.float32), q[..., None], axis=1)
+    xy = jnp.concatenate([bx[..., :2] - bx[..., 2:] * 0.5,
+                          bx[..., :2] + bx[..., 2:] * 0.5], axis=-1)
+    h, w = canvas_hw
+    if scale is None:
+        scale = jnp.array([w, h, w, h], jnp.float32)
+    xy = xy * scale
+    return scores, labels, q, xy
+
+
+def paste_and_rescore(scores, mask_logits, boxes_xy,
+                      canvas_hw: Tuple[int, int]):
+    """Paste selected-query mask logits (B, K, s, s) into the canvas at the
+    xyxy pixel boxes and rescore (reference `coco.py:149-160`). Returns
+    (rescored scores (B,K), masks (B,K,H,W) bool)."""
+    h, w = canvas_hw
+    m = jax.nn.sigmoid(mask_logits.astype(jnp.float32))
+    pasted = jax.vmap(
+        lambda mm, bb: paste_masks_mxu(mm, bb, (h, w)))(m, boxes_xy)
+    binary = pasted >= 0.5
+    denom = jnp.maximum(binary.sum((-1, -2)), 1.0)
+    mask_scores = (pasted * binary).sum((-1, -2)) / denom
+    return scores * mask_scores, binary
+
+
 def coco_postprocess(logits, boxes, mask_logits=None, *,
                      canvas_hw: Tuple[int, int], topk: int = 100,
                      scale: Optional[jnp.ndarray] = None):
@@ -69,30 +106,11 @@ def coco_postprocess(logits, boxes, mask_logits=None, *,
     (B, K, H, W) bool with mask-rescored scores (reference
     `coco.py:149-160`).
     """
-    prob = jax.nn.sigmoid(logits.astype(jnp.float32))
-    b, nq, c = prob.shape
-    k = min(topk, nq * c)
-    scores, idx = jax.lax.top_k(prob.reshape(b, nq * c), k)
-    q = idx // c
-    labels = idx % c
-
-    bx = jnp.take_along_axis(boxes.astype(jnp.float32), q[..., None], axis=1)
-    xy = jnp.concatenate([bx[..., :2] - bx[..., 2:] * 0.5,
-                          bx[..., :2] + bx[..., 2:] * 0.5], axis=-1)
-    h, w = canvas_hw
-    if scale is None:
-        scale = jnp.array([w, h, w, h], jnp.float32)
-    xy = xy * scale
-
+    scores, labels, q, xy = select_topk(
+        logits, boxes, canvas_hw=canvas_hw, topk=topk, scale=scale)
     out = {"scores": scores, "labels": labels, "boxes": xy}
     if mask_logits is not None:
-        m = jax.nn.sigmoid(mask_logits.astype(jnp.float32))
-        m = jnp.take_along_axis(m, q[:, :, None, None], axis=1)
-        pasted = jax.vmap(
-            lambda mm, bb: paste_masks_mxu(mm, bb, (h, w)))(m, xy)
-        binary = pasted >= 0.5
-        denom = jnp.maximum(binary.sum((-1, -2)), 1.0)
-        mask_scores = (pasted * binary).sum((-1, -2)) / denom
-        out["scores"] = scores * mask_scores
-        out["masks"] = binary
+        m_sel = jnp.take_along_axis(mask_logits, q[:, :, None, None], axis=1)
+        out["scores"], out["masks"] = paste_and_rescore(
+            scores, m_sel, xy, canvas_hw)
     return out

@@ -121,12 +121,19 @@ class BoxeR2D(nn.Module):
         )
 
     def __call__(self, image, mask: Optional[jnp.ndarray] = None,
-                 train: bool = True, inference: bool = False):
+                 train: bool = True, inference: bool = False,
+                 postprocess: Optional[dict] = None):
         """image: (B, H, W, 3) NHWC normalized; mask: (B, H, W) bool padding
         mask (True = padded) or None.
 
         returns dict: pred_logits (B, nq, C), pred_boxes (B, nq, 4)
         [+ pred_masks], aux_outputs, enc_outputs (train only).
+
+        postprocess (inference + use_mask only): dict with canvas_hw,
+        topk[, scale] — runs the deferred top-k mask decode and returns the
+        postprocessed {scores, labels, boxes, masks} dict directly (the mask
+        RoI tail is computed only for the selected queries; numerically
+        identical to full forward + `coco_postprocess`).
         """
         outs, pos = self.backbone(image, mask)
 
@@ -161,6 +168,12 @@ class BoxeR2D(nn.Module):
                 pos_encodings.append(None)
             features.append(feat)
             masks.append(m)
+
+        if postprocess is not None and self.use_mask:
+            assert inference, "postprocess is an inference-only fast path"
+            return self.transformer(
+                features, masks, pos_encodings, train=train, inference=True,
+                detector=self.detector, postprocess=postprocess)
 
         (hs, roi, dec_ref_windows, src_embed, src_ref_windows, src_mask,
          v_shape, enc_outputs) = self.transformer(

@@ -273,8 +273,14 @@ class InstanceAttention(nn.Module):
         b, h, l = w.shape[:3]
         return w.reshape(b, h, l, k * k, w.shape[-1])
 
+    def project_roi(self, mask_out):
+        """Apply the (shared) output projection to a mask RoI tensor
+        (B, K, k, k, H*Ch) — used by the deferred top-k mask decode, where
+        the projection runs on the selected-query subset only."""
+        return self.out_proj(mask_out)
+
     def __call__(self, query, value, v_shape: Shapes, v_mask, v_valid_ratios,
-                 ref_windows, train: bool = True):
+                 ref_windows, train: bool = True, raw_roi: bool = False):
         b, l1 = query.shape[:2]
         l2 = value.shape[1]
         k = self.kernel_size
@@ -312,6 +318,11 @@ class InstanceAttention(nn.Module):
             out, mask_out = instance_attention_qminor(
                 value, v_shape, gx, gy, spatial, level, kernel_size=k,
                 raw=True)
+            if raw_roi:
+                # deferred mask decode: hand back the unprojected RoI so the
+                # out_proj (and everything after it) runs on the top-k
+                # selected queries only
+                return self.out_proj.raw(out), mask_out, (spatial, level)
             return (self.out_proj.raw(out), self.out_proj(mask_out),
                     (spatial, level))
 

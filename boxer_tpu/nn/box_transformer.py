@@ -134,6 +134,16 @@ class EncoderLayer(nn.Module):
 
 
 class DecoderLayer(nn.Module):
+    """Decoder layer (setup-style so the RoI tail is a second method).
+
+    emit_roi: False (no RoI), True (full RoI, train path), or "defer" —
+    the dual-output sampling still runs (tgt is bitwise-identical to the
+    True path) but the expensive per-query RoI tail (out_proj, norms, FFN)
+    is NOT applied; instead the raw RoI and the residual carriers are
+    returned so `decode_roi` can run them on the top-k selected queries
+    only (inference fast path; see BoxTransformer `postprocess`).
+    """
+
     d_model: int
     nhead: int
     nlevel: int
@@ -143,64 +153,97 @@ class DecoderLayer(nn.Module):
     residual_mode: str = "v1"
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, tgt, query_pos, memory, v_shape, memory_mask,
-                 valid_ratios, ref_windows, train: bool, emit_roi: bool,
-                 fold_taps=None):
+    def setup(self):
         assert self.residual_mode in ("v1", "v2")
-        drop = lambda x: nn.Dropout(self.dropout, deterministic=not train)(x)
-
-        q = k = tgt if query_pos is None else tgt + query_pos
         if self.dropout == 0.0:
             # fused Pallas flash core (attention-prob dropout unused at 0)
             from boxer_tpu.nn.dense_attention import PallasMultiHeadAttention
 
-            tgt2 = PallasMultiHeadAttention(
-                num_heads=self.nhead, dtype=self.dtype, name="self_attn",
-            )(q, k, tgt)
+            self.self_attn = PallasMultiHeadAttention(
+                num_heads=self.nhead, dtype=self.dtype)
         else:
-            tgt2 = nn.MultiHeadDotProductAttention(
-                num_heads=self.nhead, dtype=self.dtype, name="self_attn",
-                dropout_rate=self.dropout, deterministic=not train,
-            )(inputs_q=q, inputs_k=k, inputs_v=tgt)
+            self.self_attn = nn.MultiHeadDotProductAttention(
+                num_heads=self.nhead, dtype=self.dtype,
+                dropout_rate=self.dropout)
+        if self.use_mask:
+            self.cross_attn = InstanceAttention(
+                self.d_model, self.nlevel, self.nhead, kernel_size=14,
+                dtype=self.dtype)
+        else:
+            self.cross_attn = BoxAttention(
+                self.d_model, self.nlevel, self.nhead, dtype=self.dtype)
+        self.norm1 = nn.LayerNorm(dtype=self.dtype)
+        self.norm2 = nn.LayerNorm(dtype=self.dtype)
+        self.norm3 = nn.LayerNorm(dtype=self.dtype)
+        self.linear1 = nn.Dense(self.dim_feedforward, dtype=self.dtype)
+        self.linear2 = nn.Dense(self.d_model, dtype=self.dtype)
+        self.drop_mod = nn.Dropout(self.dropout)
+
+    def __call__(self, tgt, query_pos, memory, v_shape, memory_mask,
+                 valid_ratios, ref_windows, train: bool, emit_roi,
+                 fold_taps=None):
+        drop = lambda x: self.drop_mod(x, deterministic=not train)
+        defer = emit_roi == "defer"
+
+        q = k = tgt if query_pos is None else tgt + query_pos
+        if self.dropout == 0.0:
+            tgt2 = self.self_attn(q, k, tgt)
+        else:
+            tgt2 = self.self_attn(inputs_q=q, inputs_k=k, inputs_v=tgt,
+                                  deterministic=not train)
         tgt = tgt + drop(tgt2)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt)
+        tgt = self.norm1(tgt)
 
         roi = None
         q2 = tgt if query_pos is None else tgt + query_pos
         if self.use_mask:
-            attn = InstanceAttention(self.d_model, self.nlevel, self.nhead,
-                                     kernel_size=14, dtype=self.dtype,
-                                     name="cross_attn")
-            tgt2, roi, _ = attn(q2, memory, v_shape, memory_mask, valid_ratios,
-                                ref_windows, train=emit_roi)
+            tgt2, roi, _ = self.cross_attn(
+                q2, memory, v_shape, memory_mask, valid_ratios, ref_windows,
+                train=bool(emit_roi), raw_roi=defer)
         else:
-            tgt2, _ = BoxAttention(self.d_model, self.nlevel, self.nhead,
-                                   dtype=self.dtype, name="cross_attn")(
+            tgt2, _ = self.cross_attn(
                 q2, memory, v_shape, memory_mask, valid_ratios, ref_windows,
                 fold_taps=fold_taps)
 
-        norm2 = nn.LayerNorm(dtype=self.dtype, name="norm2")
         tgt = tgt + drop(tgt2)
-        tgt = norm2(tgt)
-        if roi is not None:
+        tgt = self.norm2(tgt)
+        tgt_norm2 = tgt
+        if roi is not None and not defer:
             roi = tgt[:, :, None, None, :] + drop(roi)
-            roi = norm2(roi)
+            roi = self.norm2(roi)
 
-        linear1 = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")
-        linear2 = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")
-        tgt2 = linear2(drop(nn.relu(linear1(tgt))))
+        tgt2 = self.linear2(drop(nn.relu(self.linear1(tgt))))
         tgt = tgt + drop(tgt2)
-        norm3 = nn.LayerNorm(dtype=self.dtype, name="norm3")
-        tgt = norm3(tgt)
-        if roi is not None:
+        tgt = self.norm3(tgt)
+        if roi is not None and not defer:
             if self.residual_mode == "v1":
-                roi2 = linear2(drop(nn.relu(linear1(roi))))
+                roi2 = self.linear2(drop(nn.relu(self.linear1(roi))))
                 roi = roi + drop(roi2)
             else:  # v2
                 roi = tgt[:, :, None, None, :] + drop(roi)
-            roi = norm3(roi)
+            roi = self.norm3(roi)
+        if defer:
+            # raw RoI + the residual carriers decode_roi needs
+            return tgt, (roi, tgt_norm2, tgt)
         return tgt, roi
+
+    def decode_roi(self, mask_out_sel, tgt_norm2_sel, tgt_final_sel):
+        """RoI tail on a selected-query subset (inference, no dropout).
+
+        mask_out_sel: (B, K, k, k, H*Ch) raw RoI rows gathered at the top-k
+        queries; tgt_norm2_sel / tgt_final_sel: (B, K, C) the same layer's
+        post-norm2 / final outputs at those queries. Runs exactly the ops the
+        emit_roi=True path runs after the sampling — per-query ops, so the
+        subset result is bitwise the full result gathered at the subset.
+        """
+        roi = self.cross_attn.project_roi(mask_out_sel)
+        roi = tgt_norm2_sel[:, :, None, None, :] + roi
+        roi = self.norm2(roi)
+        if self.residual_mode == "v1":
+            roi = roi + self.linear2(nn.relu(self.linear1(roi)))
+        else:  # v2
+            roi = tgt_final_sel[:, :, None, None, :] + roi
+        return self.norm3(roi)
 
 
 class BoxTransformer(nn.Module):
@@ -267,15 +310,63 @@ class BoxTransformer(nn.Module):
         return [{"pred_logits": enc_out["pred_logits"],
                  "pred_boxes": enc_out["pred_boxes"]}]
 
+    def _decode_topk_masks(self, detector, last_layer, deferred, tgt,
+                           dec_ref_windows, postprocess: dict):
+        """Deferred mask decode: detector logits/boxes on all queries, top-k
+        selection, then the RoI tail + mask head + paste on the selected
+        subset only. Output-identical to full-RoI + `coco_postprocess`
+        (the tail ops are per-query). Reference semantics: select-then-paste
+        in `e2edet/dataset/coco.py:126-160`."""
+        from boxer_tpu.evaluate.postprocess import paste_and_rescore, select_topk
+
+        mask_out_raw, tgt_norm2, tgt_final = deferred
+        det_out = detector(tgt[None], dec_ref_windows, roi=None)
+        logits = det_out["pred_logits"]                        # (B, NQ, C)
+        boxes = det_out["pred_boxes"]
+
+        scores, labels, q, xy = select_topk(
+            logits, boxes, canvas_hw=postprocess["canvas_hw"],
+            topk=postprocess.get("topk", 100),
+            scale=postprocess.get("scale"))
+
+        gather_q = lambda x: jnp.take_along_axis(
+            x, q.reshape(q.shape + (1,) * (x.ndim - 2)), axis=1)
+        roi = last_layer.decode_roi(
+            gather_q(mask_out_raw), gather_q(tgt_norm2), gather_q(tgt_final))
+        # mask_v1: per-query class channel at the argmax of the FULL class
+        # row (not the top-k label) — parity with Detector/mask_embed
+        top = jnp.argmax(gather_q(logits), axis=-1)            # (B, K)
+        mask_logits = detector.mask_embed(roi[None], select=top.reshape(-1))[0]
+
+        scores, masks = paste_and_rescore(
+            scores, mask_logits, xy, postprocess["canvas_hw"])
+        return {"scores": scores, "labels": labels, "boxes": xy,
+                "masks": masks}
+
     @nn.compact
     def __call__(self, srcs: Sequence[jnp.ndarray], masks, pos_list,
-                 train: bool = True, inference: bool = False):
+                 train: bool = True, inference: bool = False,
+                 detector=None, postprocess: Optional[dict] = None):
         """srcs: list of (B, Hi, Wi, C); masks: list of (B, Hi, Wi) or [None];
         pos_list: list of (B, Hi, Wi, C).
 
         returns (hs, roi, dec_ref_windows, out_embed(src), src_ref_windows,
                  src_mask, v_shape, enc_outputs)
+
+        Deferred top-k mask decode (inference + use_mask only): when
+        `postprocess` (dict with canvas_hw/topk[/scale]) and the bound
+        `detector` module are given, the last decoder layer's RoI tail is
+        run only on the top-k selected queries (`DecoderLayer.decode_roi`),
+        and the return value is instead the fully postprocessed result dict
+        (scores/labels/boxes/masks) — numerically identical to running the
+        full RoI path + `coco_postprocess`, but skipping ~2/3 of the mask
+        tail (the reference computes all-query masks then selects,
+        `e2edet/dataset/coco.py:126-160`).
         """
+        defer_mask = postprocess is not None and self.use_mask and inference
+        assert not (postprocess is not None) or inference, \
+            "postprocess is an inference-only fast path"
+        assert not defer_mask or detector is not None
         if masks is not None and masks[0] is None:
             masks = None
 
@@ -337,18 +428,33 @@ class BoxTransformer(nn.Module):
         layer_cls = DecoderLayer
         if self.remat and self.use_mask and train:
             layer_cls = nn.remat(DecoderLayer, static_argnums=(4, 8, 9, 10))
+        last_layer = None
+        deferred = None
         for i in range(n_dec):
             is_last = i == n_dec - 1
             emit_roi = self.use_mask and (not inference or is_last)
-            tgt, roi = layer_cls(
+            if emit_roi and defer_mask:
+                emit_roi = "defer"
+            layer = layer_cls(
                 self.d_model, self.nhead, self.nlevel, self.dim_feedforward,
                 self.dropout, self.use_mask, self.residual_mode,
                 dtype=self.dtype, name=f"decoder_layer{i}",
-            )(tgt, dec_pos, output, v_shape, src_mask, valid_ratios,
-              dec_ref_windows, train, emit_roi,
-              True if inference else None)
+            )
+            tgt, roi = layer(
+                tgt, dec_pos, output, v_shape, src_mask, valid_ratios,
+                dec_ref_windows, train, emit_roi,
+                True if inference else None)
+            if is_last:
+                last_layer = layer
+                if emit_roi == "defer":
+                    deferred, roi = roi, None
             inter.append(tgt)
             inter_roi.append(roi)
+
+        if defer_mask:
+            return self._decode_topk_masks(
+                detector, last_layer, deferred, inter[-1], dec_ref_windows,
+                postprocess)
 
         if inference:
             hs = inter[-1][None]

@@ -169,7 +169,11 @@ class Detector(nn.Module):
         outputs_coord = self.bbox_embed(x).astype(jnp.float32)
 
         outputs_mask = None
-        if self.mask_mode == "mask_v1":
+        if roi is None and self.mask_mode != "none":
+            # deferred top-k mask decode: boxes/logits only; the caller runs
+            # mask_embed itself on the selected-query RoI subset
+            pass
+        elif self.mask_mode == "mask_v1":
             assert roi is not None
             # per-query selected column of the proj kernel == the reference's
             # materialize-all-classes + gather-at-argmax (`predictor.py:92-101`)

@@ -65,10 +65,12 @@ def measure_infer(use_mask, bs, h=800, w=1216, iters=20):
             if jax.default_backend() == "tpu" else None)
 
     def _infer(i, m):
+        if use_mask:
+            return model.apply(variables, i, m, train=False, inference=True,
+                               postprocess={"canvas_hw": (h, w), "topk": 100})
         out = model.apply(variables, i, m, train=False, inference=True)
         return coco_postprocess(
-            out["pred_logits"], out["pred_boxes"],
-            out.get("pred_masks") if use_mask else None,
+            out["pred_logits"], out["pred_boxes"], None,
             canvas_hw=(h, w), topk=100)
 
     fn = jax.jit(_infer, compiler_options=opts)

@@ -40,6 +40,10 @@ def main(use_mask=True, trace_dir="/tmp/mask_trace", h=800, w=1216, bs=1,
 
     @functools.partial(jax.jit, compiler_options=opts)
     def infer(image, mask):
+        if postproc and use_mask:
+            return model.apply(variables, image, mask, train=False,
+                               inference=True,
+                               postprocess={"canvas_hw": (h, w), "topk": 100})
         out = model.apply(variables, image, mask, train=False, inference=True)
         if postproc:
             from boxer_tpu.evaluate.postprocess import coco_postprocess
