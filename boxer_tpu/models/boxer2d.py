@@ -169,11 +169,26 @@ class BoxeR2D(nn.Module):
             features.append(feat)
             masks.append(m)
 
-        if postprocess is not None and self.use_mask:
+        if postprocess is not None:
             assert inference, "postprocess is an inference-only fast path"
-            return self.transformer(
-                features, masks, pos_encodings, train=train, inference=True,
-                detector=self.detector, postprocess=postprocess)
+            if self.use_mask:
+                return self.transformer(
+                    features, masks, pos_encodings, train=train,
+                    inference=True, detector=self.detector,
+                    postprocess=postprocess)
+            # detection-only: full forward then on-device top-k postprocess,
+            # so callers get the same {scores, labels, boxes} schema either
+            # way instead of a silently different raw dict.
+            from boxer_tpu.evaluate.postprocess import coco_postprocess
+
+            (hs, roi, dec_ref_windows, *_rest) = self.transformer(
+                features, masks, pos_encodings, train=train, inference=True)
+            out = self.detector(hs, dec_ref_windows)
+            return coco_postprocess(
+                out["pred_logits"], out["pred_boxes"], None,
+                canvas_hw=postprocess["canvas_hw"],
+                topk=postprocess.get("topk", 100),
+                scale=postprocess.get("scale"))
 
         (hs, roi, dec_ref_windows, src_embed, src_ref_windows, src_mask,
          v_shape, enc_outputs) = self.transformer(

@@ -320,7 +320,8 @@ class BoxTransformer(nn.Module):
         from boxer_tpu.evaluate.postprocess import paste_and_rescore, select_topk
 
         mask_out_raw, tgt_norm2, tgt_final = deferred
-        det_out = detector(tgt[None], dec_ref_windows, roi=None)
+        det_out = detector(tgt[None], dec_ref_windows, roi=None,
+                           defer_mask=True)
         logits = det_out["pred_logits"]                        # (B, NQ, C)
         boxes = det_out["pred_boxes"]
 
@@ -367,6 +368,10 @@ class BoxTransformer(nn.Module):
         assert not (postprocess is not None) or inference, \
             "postprocess is an inference-only fast path"
         assert not defer_mask or detector is not None
+        # the deferred tail runs no dropout; with train=True and dropout>0
+        # the main path would, silently breaking output-identity
+        assert not defer_mask or not train or self.dropout == 0.0, \
+            "deferred mask decode requires train=False (or dropout == 0)"
         if masks is not None and masks[0] is None:
             masks = None
 

@@ -162,9 +162,14 @@ class Detector(nn.Module):
             self.mask_embed = SegmentMLP(self.hidden_dim, 1, 2,
                                          dtype=self.dtype, name="mask_embed")
 
-    def __call__(self, x, ref_windows=None, roi=None, x_mask=None):
+    def __call__(self, x, ref_windows=None, roi=None, x_mask=None,
+                 defer_mask: bool = False):
         """x: (nl, B, L, C); ref_windows (B, L, 4) or (nl, B, L, 4);
-        roi: (nl, B, L, s, s, C) when mask_mode != none; x_mask: (nl, B, L)."""
+        roi: (nl, B, L, s, s, C) when mask_mode != none; x_mask: (nl, B, L).
+
+        defer_mask: the caller runs mask_embed itself on a selected-query
+        RoI subset, so roi=None is expected; any other caller that drops
+        roi with a mask head configured is an error."""
         outputs_class = self.class_embed(x)
         outputs_coord = self.bbox_embed(x).astype(jnp.float32)
 
@@ -172,7 +177,9 @@ class Detector(nn.Module):
         if roi is None and self.mask_mode != "none":
             # deferred top-k mask decode: boxes/logits only; the caller runs
             # mask_embed itself on the selected-query RoI subset
-            pass
+            assert defer_mask, (
+                "roi is required with mask_mode != 'none' unless "
+                "defer_mask=True (deferred top-k mask decode)")
         elif self.mask_mode == "mask_v1":
             assert roi is not None
             # per-query selected column of the proj kernel == the reference's
