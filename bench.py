@@ -90,23 +90,17 @@ def _measure(use_mask: bool, h: int = 800, w: int = 1216,
 
 
 def main():
-    t_start = time.perf_counter()
+    import sys
+
     segm_fps = _measure(use_mask=True)
     det_fps = _measure(use_mask=False)
     extra = {}
-    # the extra lines each cost a multi-minute cold compile; guard them on
-    # wall-clock so a cold-cache run always prints the headline JSON within
-    # the driver's budget (the persistent cache makes warm runs cheap)
-    _budget_s = float(os.environ.get("BENCH_EXTRA_BUDGET_S", 900))
-
-    def _over_budget():
-        return time.perf_counter() - t_start > _budget_s
-
+    # Every field below is MANDATORY (VERDICT r3 #10): no silent
+    # budget-dropping. A cold cache pays multi-minute compiles here; the
+    # persistent cache (plus tools/chip_session.sh pre-warm) keeps warm
+    # runs in seconds. A genuine failure is reported loudly on stderr and
+    # as a "failed: ..." string so a dropped field is always explained.
     try:
-        if _over_budget():
-            raise TimeoutError("extra-budget exhausted (headline kept)")
-        import sys
-
         sys.path.insert(0, os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "tools"))
         from mfu_bench import measure_train
@@ -114,16 +108,16 @@ def main():
         r = measure_train(False, 1, iters=6)
         extra["train_det_bs1_ms"] = round(r["ms"], 1)
         extra["train_det_bs1_mfu_pct"] = round(r["mfu"] * 100, 2)
-    except Exception as e:  # noqa: BLE001 — train line is best-effort
-        extra["train_det_bs1_ms"] = f"skipped: {str(e)[:60]}"
+    except Exception as e:  # noqa: BLE001 — keep the headline alive
+        print(f"BENCH ERROR: train line failed: {e!r}", file=sys.stderr)
+        extra["train_det_bs1_ms"] = f"failed: {str(e)[:60]}"
     try:
-        if _over_budget():
-            raise TimeoutError("extra-budget exhausted (headline kept)")
         r101_fps = _measure(use_mask=True, backbone="resnet101")
         extra["r101_segm_fps"] = round(r101_fps, 3)
         extra["r101_vs_baseline"] = round(r101_fps / BASELINE_FPS_R101, 3)
-    except Exception as e:  # noqa: BLE001 — R101 line is best-effort
-        extra["r101_segm_fps"] = f"skipped: {str(e)[:60]}"
+    except Exception as e:  # noqa: BLE001 — keep the headline alive
+        print(f"BENCH ERROR: r101 line failed: {e!r}", file=sys.stderr)
+        extra["r101_segm_fps"] = f"failed: {str(e)[:60]}"
     print(json.dumps({
         "metric": "boxer2d_r50_segm_infer_fps",
         "value": round(segm_fps, 3),
@@ -135,4 +129,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    from boxer_tpu.utils.chip_lock import chip_lock
+
+    with chip_lock():
+        main()

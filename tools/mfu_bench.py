@@ -87,7 +87,11 @@ def measure_infer(use_mask, bs, h=800, w=1216, iters=20):
             "mfu": flops / dt / PEAK_BF16}
 
 
-def measure_train(use_mask, bs, h=800, w=1216, iters=8):
+def measure_train(use_mask, bs, h=800, w=1216, iters=8, iter_per_update=1):
+    """bs = GLOBAL batch per update; iter_per_update > 1 splits it into
+    microbatches via the in-graph lax.scan accumulation
+    (`parallel/steps.py`), matching the reference recipe semantics
+    (`collate_fn.py:93-111`, `engine.py:153-169`)."""
     from boxer_tpu.criterion.losses import Boxer2DCriterion
     from boxer_tpu.dataset.synthetic import synthetic_batch
     from boxer_tpu.nn.matcher import HungarianMatcher
@@ -104,7 +108,8 @@ def measure_train(use_mask, bs, h=800, w=1216, iters=8):
     criterion = Boxer2DCriterion(91, matcher, wd, losses)
 
     batch_np = synthetic_batch(bs, h, w, num_targets=20, num_classes=91,
-                               with_masks=use_mask, iter_per_update=1)
+                               with_masks=use_mask,
+                               iter_per_update=iter_per_update)
     batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
     variables = jax.jit(lambda: model.init(
         jax.random.PRNGKey(0), batch["image"][0][:1], batch["mask"][0][:1],
@@ -164,13 +169,29 @@ def main():
     add("train det bs=1", measure_train, False, 1)
     add("train det bs=4", measure_train, False, 4)
     if not args.quick:
-        # reference recipe is GLOBAL batch 16 over 8 GPUs; the single-chip
-        # equivalent is bs=8 under dp2 (bs=16 exceeds one chip's 16G HBM:
-        # measured 21.0G program)
+        # reference recipe is GLOBAL batch 16 (8 GPUs x bs2,
+        # `base_boxer2d_detection.yaml:145-168`); bs=16 flat exceeds one
+        # chip's 16G HBM (measured 21.0G program), so the single-chip recipe
+        # path is bs8 x iter_per_update=2 grad accumulation
         add("train det bs=8", measure_train, False, 8)
+        add("train det global16 (bs8 x2 accum)",
+            lambda: measure_train(False, 16, iters=4, iter_per_update=2))
+        if rows and rows[-1][0].startswith("train det global16"):
+            upd_s = rows[-1][1]["ms"] / 1e3
+            # 3x schedule = 270k updates (reference
+            # `COCO-Detection/boxer2d_R_50_3x.yaml:4-17`)
+            print(f"| -> 3x schedule (270k updates @ global 16): "
+                  f"{270_000 * upd_s / 3600:.1f} h on 1 chip; "
+                  f"~{270_000 * upd_s / 3600 / 8:.1f} h on 8 chips (dp8, "
+                  f"bs2/chip, linear-dp projection) |")
         add("train segm bs=1", measure_train, True, 1)
         add("train segm bs=4", measure_train, True, 4)
+        add("train segm global4 (bs2 x2 accum)",
+            lambda: measure_train(True, 4, iters=4, iter_per_update=2))
 
 
 if __name__ == "__main__":
-    main()
+    from boxer_tpu.utils.chip_lock import chip_lock
+
+    with chip_lock():
+        main()
