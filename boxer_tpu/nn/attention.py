@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 
 from boxer_tpu.ops import box_attention_dispatch, instance_attention
+from jax.ad_checkpoint import checkpoint_name
+
 from boxer_tpu.ops.box_attention import box_attention_qminor
 
 Shapes = Tuple[Tuple[int, int], ...]
@@ -198,6 +200,12 @@ class BoxAttention(nn.Module):
         gx, gy = self._where_to_attend(query, v_valid_ratios, ref_windows)
         out = box_attention_qminor(value, v_shape, gx, gy, attn_q, raw=True,
                                    fold=fold_taps)
+        # offerable to a remat policy (save_only_these_names): saving the
+        # raw sampling output lets the remat recompute DCE the encoder-scale
+        # gathers + corner combines (the takes' only consumer is this
+        # tensor; the custom-VJP backward re-gathers on its own) — ~10.3 MB
+        # per layer vs ~0.45 ms/layer of recomputed fetches
+        out = checkpoint_name(out, "box_attn_sample")
         attn = attn.reshape(
             b, l1, self.num_head, self.num_level, self.num_point)
         return self.out_proj.raw(out), attn

@@ -187,7 +187,7 @@ def _take_rows_vjp(stride: int, bh: int, pmajor_p: int = 0):
                        .astype(tdtype))
         return d_table, None
 
-    take_rows.defvjp(fwd, bwd)
+    take_rows.defvjp(fwd, bwd, optimize_remat=True)
     return take_rows
 
 
@@ -255,15 +255,24 @@ def _sample_taps_vjp(stride: int, bh: int):
         g = g.astype(jnp.float32)
 
         vals = jnp.take(table, idx.reshape(-1), axis=0, mode="clip")
-        parts = [_lane_tree_sum(
-            vals[:, c * ch:(c + 1) * ch].astype(jnp.float32) * g)
-            for c in range(4)]
+        # d_w4[t, c] = <vals[t, c*ch:(c+1)*ch], g[t]>: ONE MXU dot against a
+        # block-indicator matrix instead of 4 lane-tree reductions. The
+        # gather's direct consumer stays elementwise (RULE 4); the dot reads
+        # the materialized product. Trace-measured: the lane trees came out
+        # column-major and dragged ~28 ms/step of transposed copies +
+        # convert_multiply chains at encoder scale.
+        g4 = jnp.concatenate([g, g, g, g], axis=1)           # (N, 4*ch) f32
+        prod = vals.astype(jnp.float32) * g4
+        lane = jax.lax.broadcasted_iota(jnp.int32, (ch4, 4), 0) // ch
+        corner = jax.lax.broadcasted_iota(jnp.int32, (ch4, 4), 1)
+        sel = (lane == corner).astype(jnp.float32)           # (4*ch, 4)
+        parts4 = jax.lax.dot_general(
+            prod, sel, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (N, 4)
         if pmajor:
-            d_w = jnp.stack([x.reshape(p, bh, lq) for x in parts],
-                            axis=2)                          # (P, BH, 4, LQ)
+            d_w = jnp.moveaxis(parts4.reshape(p, bh, lq, 4), 3, 2)
         else:
-            d_w = jnp.stack(parts, axis=1).reshape(
-                bh, lq, 4).transpose(0, 2, 1)                # (BH, 4, LQ)
+            d_w = parts4.reshape(bh, lq, 4).transpose(0, 2, 1)  # (BH, 4, LQ)
 
         from boxer_tpu.ops.pallas.scatter_accum import (
             pallas_scatter_supported,
@@ -291,7 +300,7 @@ def _sample_taps_vjp(stride: int, bh: int):
                        .astype(table.dtype))
         return d_table, None, d_w
 
-    sample_taps.defvjp(fwd, bwd)
+    sample_taps.defvjp(fwd, bwd, optimize_remat=True)
     return sample_taps
 
 
