@@ -18,6 +18,11 @@ run() {  # run <name> <timeout_s> <cmd...>
     | tee -a $OUT/summary.log
 }
 
+# 0. pre-warm the multichip dryrun's XLA:CPU compiles into the persistent
+#    cache (CPU-only, no chip needed; the driver's own dryrun_multichip run
+#    then starts warm and finishes in seconds)
+run dryrun 3000 python -c "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"
+
 # 1. TPU-gated kernel parity (the weighted-scatter VJPs landed unverified
 #    on-chip; correctness first)
 run tpu_tests 3000 python -m pytest tests/test_pallas_tpu_paths.py -q
