@@ -326,6 +326,12 @@ class InstanceAttention(nn.Module):
             out, mask_out = instance_attention_qminor(
                 value, v_shape, gx, gy, spatial, level, kernel_size=k,
                 raw=True)
+            # offerable to the decoder remat policy (same rationale as
+            # 'box_attn_sample'): saving the raw dual sampling outputs lets
+            # the backward recompute skip the 470k-row folded gathers +
+            # combines; the custom VJP re-gathers on its own
+            out = checkpoint_name(out, "instance_attn_sample")
+            mask_out = checkpoint_name(mask_out, "instance_attn_sample")
             if raw_roi:
                 # deferred mask decode: hand back the unprojected RoI so the
                 # out_proj (and everything after it) runs on the top-k

@@ -442,7 +442,15 @@ class BoxTransformer(nn.Module):
         # (static_argnums: self=0; v_shape/train/emit_roi/fold_taps static)
         layer_cls = DecoderLayer
         if self.remat and self.use_mask and train:
-            layer_cls = nn.remat(DecoderLayer, static_argnums=(4, 8, 9, 10))
+            # same names policy as the encoder: save the raw instance/box
+            # sampling outputs (~30 MB/layer bf16 at bs=1) so the backward
+            # recompute skips the 470k-row folded gathers + combines; the
+            # RoI-tail intermediates (the remat's reason to exist) are
+            # still recomputed
+            layer_cls = nn.remat(
+                DecoderLayer, static_argnums=(4, 8, 9, 10),
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "box_attn_sample", "instance_attn_sample"))
         last_layer = None
         deferred = None
         for i in range(n_dec):

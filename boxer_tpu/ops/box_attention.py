@@ -255,24 +255,36 @@ def _sample_taps_vjp(stride: int, bh: int):
         g = g.astype(jnp.float32)
 
         vals = jnp.take(table, idx.reshape(-1), axis=0, mode="clip")
-        # d_w4[t, c] = <vals[t, c*ch:(c+1)*ch], g[t]>: ONE MXU dot against a
-        # block-indicator matrix instead of 4 lane-tree reductions. The
-        # gather's direct consumer stays elementwise (RULE 4); the dot reads
-        # the materialized product. Trace-measured: the lane trees came out
-        # column-major and dragged ~28 ms/step of transposed copies +
-        # convert_multiply chains at encoder scale.
-        g4 = jnp.concatenate([g, g, g, g], axis=1)           # (N, 4*ch) f32
-        prod = vals.astype(jnp.float32) * g4
-        lane = jax.lax.broadcasted_iota(jnp.int32, (ch4, 4), 0) // ch
-        corner = jax.lax.broadcasted_iota(jnp.int32, (ch4, 4), 1)
-        sel = (lane == corner).astype(jnp.float32)           # (4*ch, 4)
-        parts4 = jax.lax.dot_general(
-            prod, sel, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # (N, 4)
-        if pmajor:
-            d_w = jnp.moveaxis(parts4.reshape(p, bh, lq, 4), 3, 2)
-        else:
+        if not pmajor:
+            # d_w4[t, c] = <vals[t, c*ch:(c+1)*ch], g[t]>: ONE MXU dot
+            # against a block-indicator matrix instead of 4 lane-tree
+            # reductions. The gather's direct consumer stays elementwise
+            # (RULE 4); the dot reads the materialized product.
+            # Trace-measured at ENCODER scale (flat layout, N=161k): the
+            # lane trees came out column-major and dragged ~28 ms/step of
+            # transposed copies + convert-multiply chains; the dot removes
+            # them (det train 253 -> 227 ms/step).
+            g4 = jnp.concatenate([g, g, g, g], axis=1)       # (N, 4*ch) f32
+            prod = vals.astype(jnp.float32) * g4
+            lane = jax.lax.broadcasted_iota(jnp.int32, (ch4, 4), 0) // ch
+            corner = jax.lax.broadcasted_iota(jnp.int32, (ch4, 4), 1)
+            sel = (lane == corner).astype(jnp.float32)       # (4*ch, 4)
+            parts4 = jax.lax.dot_general(
+                prod, sel, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (N, 4)
             d_w = parts4.reshape(bh, lq, 4).transpose(0, 2, 1)  # (BH, 4, LQ)
+        else:
+            # p-major (instance, N=470k): the dot formulation makes XLA
+            # materialize vals/g in column-major to feed the MXU and forks
+            # g's layout between the dot and the scatter payload —
+            # trace-measured +40 ms/step of pure relayouts at segm-train
+            # scale. The lane-tree reduction keeps everything row-major
+            # here (RULE 4: aligned lane slices + adds only).
+            parts = [_lane_tree_sum(
+                vals[:, c * ch:(c + 1) * ch].astype(jnp.float32) * g)
+                for c in range(4)]
+            d_w = jnp.stack([x.reshape(p, bh, lq) for x in parts],
+                            axis=2)                          # (P, BH, 4, LQ)
 
         from boxer_tpu.ops.pallas.scatter_accum import (
             pallas_scatter_supported,

@@ -113,4 +113,8 @@ if __name__ == "__main__":
     ap.add_argument("--postproc", action="store_true")
     a = ap.parse_args()
     h, w = [int(v) for v in a.hw.split("x")]
-    main(use_mask=a.mode != "nomask", h=h, w=w, bs=a.bs, postproc=a.postproc)
+    from boxer_tpu.utils.chip_lock import chip_lock
+
+    with chip_lock():
+        main(use_mask=a.mode != "nomask", h=h, w=w, bs=a.bs,
+             postproc=a.postproc)

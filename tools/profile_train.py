@@ -92,4 +92,8 @@ def main(use_mask=False, trace=True, trace_dir="/tmp/train_trace",
 
 
 if __name__ == "__main__":
-    main(use_mask="mask" in sys.argv[1:], trace="notrace" not in sys.argv[1:])
+    from boxer_tpu.utils.chip_lock import chip_lock
+
+    with chip_lock():
+        main(use_mask="mask" in sys.argv[1:],
+             trace="notrace" not in sys.argv[1:])
