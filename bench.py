@@ -129,7 +129,22 @@ def main():
 
 
 if __name__ == "__main__":
+    import signal
+    import sys
+
     from boxer_tpu.utils.chip_lock import chip_lock
 
+    def _deadline(signum, frame):  # noqa: ARG001
+        # A wedged chip tunnel hangs device init / dispatch indefinitely
+        # (observed: trivial device ops blocking >120 s during an outage).
+        # Failing loudly beats hanging the driver's bench run forever.
+        print("BENCH ERROR: wall-clock deadline hit — chip tunnel "
+              "unresponsive or compile stuck; no result", file=sys.stderr)
+        sys.stdout.flush()
+        os._exit(3)
+
+    signal.signal(signal.SIGALRM, _deadline)
+    signal.alarm(3300)
     with chip_lock():
         main()
+    signal.alarm(0)

@@ -198,6 +198,11 @@ def _arch_spec(arch: str):
         layers = (3, 4, 6, 3)
     elif arch in ("resnet101", "resnet101_dc5"):
         layers = (3, 4, 23, 3)
+    elif arch == "resnet10":
+        # one bottleneck per stage: same structure/channel widths as R50,
+        # 4x fewer conv blocks. Test/dryrun-only (cuts XLA:CPU compile of
+        # the sharded dryrun train step; no reference counterpart).
+        layers = (1, 1, 1, 1)
     else:
         raise ValueError(f"Unknown resnet arch: {arch}")
     dilation = (False, False, arch.endswith("_dc5"))
