@@ -165,7 +165,7 @@ def _take_rows_vjp(stride: int, bh: int, pmajor_p: int = 0):
             scatter_add_rows,
         )
 
-        if pallas_scatter_supported(ch, idx.size // bh):
+        if pallas_scatter_supported(ch, idx.size // bh, rb=stride):
             base = (jnp.arange(bh, dtype=jnp.int32) * stride)
             if pmajor_p:
                 # p-major kernel layout: the cotangent is consumed in its
@@ -292,7 +292,7 @@ def _sample_taps_vjp(stride: int, bh: int):
             scatter_add_rows_weighted,
         )
 
-        if pallas_scatter_supported(ch4, p * lq):
+        if pallas_scatter_supported(ch4, p * lq, rb=stride):
             base = (jnp.arange(bh, dtype=jnp.int32) * stride)
             if pmajor:
                 d = scatter_add_rows_pmajor_weighted(

@@ -42,10 +42,30 @@ _CHUNK = 4096
 _UNROLL = 4
 # 4 accumulator copies when the table slice fits 4x in VMEM
 _MULTI_ACC_MAX_ROWS = 4096
+# f32 accumulator budget (bytes) across all copies + scratch; the 16 MiB
+# scoped VMEM also holds the double-buffered payload/weight/out blocks.
+# Overflow is a Mosaic compile error, observed at the reference-spec test
+# widths (acc lanes 256/4096 x rb_pad ~3.9k rows x 4 copies).
+_ACC_BUDGET = 12 * 1024 * 1024
 
 
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def _acc_bytes(rb_pad: int, lanes: int) -> int:
+    return (rb_pad + 8) * lanes * 4
+
+
+def _pick_n_acc(rb_pad: int, lanes: int, extra_scratch: int = 0) -> int:
+    """Accumulator copies: 4 when the striped copies fit the VMEM budget
+    (RAW-hazard avoidance), else 1; caller must pre-check that even one
+    copy fits (`pallas_scatter_supported(..., rb=...)`)."""
+    if (rb_pad <= _MULTI_ACC_MAX_ROWS
+            and _UNROLL * _acc_bytes(rb_pad, lanes) + extra_scratch
+            <= _ACC_BUDGET):
+        return _UNROLL
+    return 1
 
 
 def _make_kernel(nch: int, tpb: int, idx_at, payload_at):
@@ -102,8 +122,7 @@ def _build_call(bh: int, nt: int, rb_pad: int, ch: int,
                 pay_dtype: str = "float32"):
     nch = pl.cdiv(nt, _CHUNK)
     acc_rows = rb_pad + 8          # last 8 rows = dump for padded taps
-    multi = rb_pad <= _MULTI_ACC_MAX_ROWS
-    n_acc = _UNROLL if multi else 1
+    n_acc = _pick_n_acc(rb_pad, ch)
 
     kernel = _make_kernel(
         nch, _CHUNK,
@@ -145,8 +164,7 @@ def _build_call_pmajor(bh: int, p: int, lq: int, rb_pad: int, ch: int,
     nlc = pl.cdiv(lq, tpb)
     nch = p * nlc
     acc_rows = rb_pad + 8
-    multi = rb_pad <= _MULTI_ACC_MAX_ROWS
-    n_acc = _UNROLL if multi else 1
+    n_acc = _pick_n_acc(rb_pad, ch)
 
     # idx SMEM layout: Mosaic constrains blocks like VMEM tiles — a
     # (1, 1, tpb) block over (P, BH, LQ_pad) violates the sublane rule at
@@ -287,8 +305,7 @@ def _build_call_weighted(bh: int, nt: int, rb_pad: int, ch: int,
                          pay_dtype: str = "float32"):
     nch = pl.cdiv(nt, _CHUNK)
     acc_rows = rb_pad + 8
-    multi = rb_pad <= _MULTI_ACC_MAX_ROWS
-    n_acc = _UNROLL if multi else 1
+    n_acc = _pick_n_acc(rb_pad, 4 * ch, extra_scratch=_CHUNK * 4 * ch * 4)
 
     kernel = _make_weighted_kernel(nch, _CHUNK, ch)
     return pl.pallas_call(
@@ -345,8 +362,7 @@ def _build_call_pmajor_weighted(bh: int, p: int, lq: int, rb_pad: int,
     nlc = pl.cdiv(lq, tpb)
     nch = p * nlc
     acc_rows = rb_pad + 8
-    multi = rb_pad <= _MULTI_ACC_MAX_ROWS
-    n_acc = _UNROLL if multi else 1
+    n_acc = _pick_n_acc(rb_pad, 4 * ch, extra_scratch=tpb * 4 * ch * 4)
 
     if tpb % 1024 == 0:
         idx_spec = pl.BlockSpec(
@@ -437,19 +453,31 @@ def scatter_add_rows(idx, payload, rb: int):
 _MIN_TAPS = 8192
 
 
-def pallas_scatter_supported(ch: int, nt: int = 1 << 30) -> bool:
+def pallas_scatter_supported(ch: int, nt: int = 1 << 30,
+                             rb: int = 0) -> bool:
     """The kernel needs the TPU backend, a 128-multiple lane count (quad
-    rows at head_dim 32), and enough taps to amortize per-call overhead.
-    Everything else uses the XLA scatter.
+    rows at head_dim 32), enough taps to amortize per-call overhead, and —
+    when the caller passes the table-slice row count `rb` — a single f32
+    accumulator copy that fits the VMEM budget (wide-channel sweeps at
+    reference-spec ch overflow the 16 MiB scoped VMEM as a Mosaic compile
+    error). Everything else uses the XLA scatter.
+
+    `ch` is the ACCUMULATOR lane count (the payload lanes for the plain
+    kernels, 4x the payload lanes for the weighted/corner-expanding ones —
+    call sites pass the expanded width).
 
     BOXER_FORCE_PALLAS_SCATTER=1 (tests only) takes the kernel path whenever
-    the lane count allows, regardless of backend/size — combined with the
-    Pallas interpreter this lets the custom-VJP -> kernel integration
-    (relative-index bases, payload reshapes, corner-weight order) run
-    chip-independently."""
+    the lane count and VMEM budget allow, regardless of backend/size —
+    combined with the Pallas interpreter this lets the custom-VJP -> kernel
+    integration (relative-index bases, payload reshapes, corner-weight
+    order) run chip-independently."""
     import os
 
+    if ch % 128 != 0:
+        return False
+    if rb and (_acc_bytes(_round_up(rb, 8), ch) + _CHUNK * ch * 4
+               > _ACC_BUDGET):
+        return False
     if os.environ.get("BOXER_FORCE_PALLAS_SCATTER"):
-        return ch % 128 == 0
-    return (jax.default_backend() == "tpu" and ch % 128 == 0
-            and nt >= _MIN_TAPS)
+        return True
+    return jax.default_backend() == "tpu" and nt >= _MIN_TAPS
