@@ -128,7 +128,12 @@ def measure_train(use_mask, bs, h=800, w=1216, iters=8, iter_per_update=1):
     step = jax.jit(make_train_step(model, criterion, tx, max_norm=0.1),
                    donate_argnums=(0,))
     rng = jax.random.PRNGKey(7)
-    compiled = step.lower(state, batch, rng).compile()
+    # bs>=8 train: the backward scatter's Pallas staging exceeds the 16 MiB
+    # default scoped-VMEM (measured 19.14M at bs=8 global-16 accum); raise
+    # the limit like the inference tools do (profile_mask.py)
+    opts = ({"xla_tpu_scoped_vmem_limit_kib": "65536"}
+            if jax.default_backend() == "tpu" and bs >= 8 else None)
+    compiled = step.lower(state, batch, rng).compile(compiler_options=opts)
     flops = _flops(compiled)
     state, stats = compiled(state, batch, rng)
     jax.block_until_ready(stats["total_loss"])
