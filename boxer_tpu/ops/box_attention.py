@@ -34,6 +34,7 @@ Design (TPU-first, not a CUDA translation):
 """
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -42,6 +43,12 @@ import jax.numpy as jnp
 from boxer_tpu.utils.general import level_start_index
 
 Shapes = Tuple[Tuple[int, int], ...]
+
+# Fused inference combine implementation: "mmajor" (round-5 streaming kernel,
+# taps reduced in-block, corner weights formed in-kernel) or "pmajor" (the
+# r3 accumulator-carry kernel). Both are output-identical; see
+# docs/TPU_PERFORMANCE.md for the measured comparison.
+_COMBINE_IMPL = os.environ.get("BOXER_COMBINE", "pmajor")
 
 
 def _corner_indices_and_weights(loc_l, h, w, base):
@@ -466,6 +473,39 @@ def _box_attention_qminor_folded(value, shapes: Shapes, gx, gy, attn_weight,
             stride = (hl + 1) * (wl + 1)
             table = (tables[li] if b == 1 else jax.lax.slice_in_dim(
                 tables[li], bi * nh * stride, (bi + 1) * nh * stride))
+
+            if fused and _COMBINE_IMPL == "mmajor":
+                # m-major streaming combine (round 5): gather rows ordered
+                # (h, lq, p) so the Pallas kernel reduces each output's P
+                # taps inside one block — no accumulator carry, one output
+                # write, corner weights formed in-kernel from raw lx/ly/w
+                # (kills the (P, 4, M) stack formatting)
+                from boxer_tpu.ops.pallas.combine_reduce import (
+                    fused_combine_reduce_mmajor)
+
+                x = gx[sl, li].transpose(0, 2, 1) * wl - 0.5  # (H, LQ, P)
+                y = gy[sl, li].transpose(0, 2, 1) * hl - 0.5
+                w_l = aw[sl, li].transpose(0, 2, 1)
+                x0 = jnp.floor(x)
+                y0 = jnp.floor(y)
+                lx = x - x0
+                ly = y - y0
+                x0i = x0.astype(jnp.int32)
+                y0i = y0.astype(jnp.int32)
+                valid = ((x0i >= -1) & (x0i <= wl - 1)
+                         & (y0i >= -1) & (y0i <= hl - 1))
+                xq = jnp.clip(x0i + 1, 0, wl)
+                yq = jnp.clip(y0i + 1, 0, hl)
+                idx = (jnp.arange(nh, dtype=jnp.int32)[:, None, None]
+                       * stride + yq * (wl + 1) + xq)         # (H, LQ, P)
+                w_tap = jnp.where(valid, w_l, 0.0)
+                vals = jnp.take(table, idx.reshape(-1), axis=0,
+                                mode="clip")                  # (Mb*P, 4Ch)
+                out_b = out_b + fused_combine_reduce_mmajor(
+                    vals, lx.reshape(1, -1), ly.reshape(1, -1),
+                    w_tap.reshape(1, -1), npt, mb)
+                continue
+
             base = h_idx * stride
             # p-major layout: (H, P, LQ) -> (P, H, LQ); small tensors, cheap
             x = jnp.swapaxes(gx[sl, li], 0, 1) * wl - 0.5

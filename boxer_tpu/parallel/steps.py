@@ -70,6 +70,7 @@ def make_train_step(
     compute_dtype=jnp.float32,
     static=None,
     metrics=None,
+    debug_grads: bool = False,
 ) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, stats).
 
@@ -135,6 +136,7 @@ def make_train_step(
             (grads, loss, stats), _ = jax.lax.scan(
                 one_micro, (g0, l0, s0), (rest, rngs[1:]))
 
+        raw_grads = grads if debug_grads else None
         grads, grad_norm = clip_by_global_norm(grads, max_norm)
 
         # NaN/Inf-skip parity (reference `engine.py:224-242`)
@@ -163,6 +165,12 @@ def make_train_step(
         stats["grad_norm"] = grad_norm
         stats["num_boxes"] = num_boxes
         stats["skipped"] = (~ok).astype(jnp.float32)
+        if debug_grads:
+            # pre-clip accumulated grads: the sharded==unsharded equivalence
+            # checks compare these directly — AdamW's step-1 update is
+            # magnitude-invariant, so a wrong dp psum normalization is
+            # visible only here, not in the updated params
+            stats["_grads"] = raw_grads
         return new_state, stats
 
     return train_step

@@ -177,12 +177,27 @@ def boxer2d_config(num_classes=91, hidden_dim=256, nhead=8, num_level=4,
                    ref_size=4, residual_mode="v1"):
     """Reference model_config.boxer2d tree (values from
     `e2edet/config/base_boxer2d_detection.yaml:92-143`)."""
+    loss_params = NS(
+        class_loss_coef=2, bbox_loss_coef=5, giou_loss_coef=2,
+        use_mask=use_mask,
+        matcher=NS(type="hungarian", params=NS(
+            class_weight=2, bbox_weight=5, giou_weight=2,
+            focal_label=True)),
+    )
+    if use_mask:
+        loss_params["mask_loss_coef"] = 5
+        loss_params["dice_loss_coef"] = 5
     return NS(
         hidden_dim=hidden_dim,
         aux_loss=True,
         deform_lr_multi=0.1,
         use_mask=use_mask,
         ref_size=ref_size,
+        # training criterion (values: `base_boxer2d_detection.yaml:100-113`,
+        # `COCO-InstanceSegmentation/boxer2d_R_101_3x.yaml:13-14`) — used by
+        # the gradient-parity tests via `init_losses_and_metrics`
+        loss=NS(type="boxer2d", params=loss_params),
+        metric=[],
         backbone=NS(type=backbone, params=NS(
             pretrained=False, pretrained_path=None, freeze_backbone=None,
             position_encoding="fixed_box",
@@ -207,5 +222,6 @@ def build_reference_boxer2d(num_classes=91, **kwargs):
     global_config = NS(training=NS(iter_per_update=1))
     model = BoxeR2D(config, num_classes, global_config=global_config)
     model._build()
+    model.init_losses_and_metrics()
     model.inference(True)
     return model

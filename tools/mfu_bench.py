@@ -30,6 +30,45 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 PEAK_BF16 = 197e12  # TPU v5e per-chip
 
+# Measured floor rates (docs/TPU_PERFORMANCE.md "The sampling roofline"):
+# the XLA:TPU vectorized gather emitter is fetch-count-bound at ~1.27 ns per
+# fetched quad row (order/packing/table-size independent), and the Pallas
+# d_value scatter sits at its VMEM accumulate-chain floor of ~6 ns/tap.
+GATHER_NS_PER_ROW = 1.27
+SCATTER_NS_PER_TAP = 6.0
+
+
+def sampling_floor_ms(h, w, *, train, use_mask, flops=float("nan"),
+                      enc_layers=6, dec_layers=6, nhead=8, nlevel=4,
+                      ntap=4, nq=300, inst_k=14, bs=1):
+    """Analytic fetch/chain floor for one BoxeR-2D step (VERDICT r4 #8).
+
+    floor = gather rows x emitter rate + (train) d_w recompute gathers +
+    d_value scatter taps x chain rate + model FLOPs / MXU peak. Every term
+    is a measured rate times a semantically-required count, so
+    floor_util = floor/measured is a stable regression signal where raw MFU
+    (~2%) reads as noise on this gather-bound model.
+    """
+    import math
+
+    sizes = [(math.ceil(h / s), math.ceil(w / s)) for s in (8, 16, 32, 64)]
+    s_tokens = sum(a * b for a, b in sizes)
+    enc_rows = s_tokens * nhead * nlevel * ntap        # per encoder layer
+    if use_mask:
+        # segm decoder: InstanceAttention (k*k taps) in EVERY layer
+        # (reference box_transformer.py:383)
+        dec_rows = nq * nhead * nlevel * inst_k * inst_k
+    else:
+        dec_rows = nq * nhead * nlevel * ntap
+    rows = bs * (enc_layers * enc_rows + dec_layers * dec_rows)
+    floor_s = rows * GATHER_NS_PER_ROW * 1e-9
+    if train:
+        floor_s += rows * GATHER_NS_PER_ROW * 1e-9     # d_w recompute take
+        floor_s += rows * SCATTER_NS_PER_TAP * 1e-9    # d_value accumulate
+    if flops == flops:
+        floor_s += flops / PEAK_BF16
+    return floor_s * 1e3
+
 
 def _model(use_mask):
     from boxer_tpu.models.boxer2d import BoxeR2D
@@ -83,8 +122,11 @@ def measure_infer(use_mask, bs, h=800, w=1216, iters=20):
         out = compiled(image, mask)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
+    floor = sampling_floor_ms(h, w, train=False, use_mask=use_mask,
+                              flops=flops, bs=bs)
     return {"ms": dt * 1e3, "img_s": bs / dt, "flops": flops,
-            "mfu": flops / dt / PEAK_BF16}
+            "mfu": flops / dt / PEAK_BF16,
+            "floor_util": floor / (dt * 1e3)}
 
 
 def measure_train(use_mask, bs, h=800, w=1216, iters=8, iter_per_update=1):
@@ -142,8 +184,66 @@ def measure_train(use_mask, bs, h=800, w=1216, iters=8, iter_per_update=1):
         state, stats = compiled(state, batch, rng)
     jax.block_until_ready(stats["total_loss"])
     dt = (time.perf_counter() - t0) / iters
+    floor = sampling_floor_ms(h, w, train=True, use_mask=use_mask,
+                              flops=flops, bs=bs)
     return {"ms": dt * 1e3, "img_s": bs / dt, "flops": flops,
-            "mfu": flops / dt / PEAK_BF16}
+            "mfu": flops / dt / PEAK_BF16,
+            "floor_util": floor / (dt * 1e3)}
+
+
+def measure_boxer3d(bs=1, max_voxels=32000, iters=20):
+    """BoxeR-3D inference at the reference Waymo shape (VERDICT r4 #9):
+    pc_range +-75 m / 0.32 m voxels -> 468x468 BEV grid, train-processor
+    voxel budget 32k (`base_boxer3d_detection.yaml:27-66,100-146`)."""
+    import numpy as np
+
+    from boxer_tpu.models.boxer3d import BoxeR3D
+
+    nx = ny = 468
+    model = BoxeR3D(
+        num_classes=2, hidden_dim=256, nhead=8, num_level=2,
+        enc_layers=2, dec_layers=2, dim_feedforward=1024, num_queries=300,
+        dtype=jnp.bfloat16,
+        backbone_cfg=tuple(sorted({
+            "type": "pointpillar",
+            "params.hidden_dim": 256,
+            "params.position_encoding": "fixed",
+            "params.ref_size": 4,
+            "params.return_layers": 2,
+            "params.reader.num_input_features": 5,
+            "params.reader.num_filters": (64, 128),
+            "params.reader.voxel_size": (0.32, 0.32, 8.0),
+            "params.reader.pc_range": (-75.0, -75.0, -3.0, 75.0, 75.0, 5.0),
+            "params.extractor.num_input_features": 128,
+            "params.neck.num_layers": (2, 4, 2),
+            "params.neck.ds_strides": (1, 2, 2),
+            "params.neck.ds_filters": (256, 512, 1024),
+        }.items())))
+
+    rng = np.random.RandomState(0)
+    v, p, f = max_voxels * bs, 20, 5
+    voxels = rng.randn(v, p, f).astype(np.float32)
+    coords = np.stack([
+        rng.randint(0, bs, v), np.zeros(v, np.int64),
+        rng.randint(0, ny, v), rng.randint(0, nx, v)], 1).astype(np.int32)
+    num_pts = rng.randint(1, p + 1, v).astype(np.int32)
+    args = (jnp.asarray(voxels), jnp.asarray(coords), jnp.asarray(num_pts))
+
+    variables = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), *args, (nx, ny), bs, train=False))()
+    fn = jax.jit(lambda *a: model.apply(
+        variables, *a, (nx, ny), bs, train=False, inference=True))
+    compiled = fn.lower(*args).compile()
+    flops = _flops(compiled)
+    out = compiled(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = compiled(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    return {"ms": dt * 1e3, "img_s": bs / dt, "flops": flops,
+            "mfu": flops / dt / PEAK_BF16, "floor_util": float("nan")}
 
 
 def main():
@@ -162,11 +262,14 @@ def main():
             print(f"| {name} | FAILED: {str(e)[:80]} |", flush=True)
             return
         rows.append((name, r))
+        fu = r.get("floor_util", float("nan"))
+        fu_s = f"{fu*100:.0f}%" if fu == fu else "-"
         print(f"| {name} | {r['ms']:.1f} | {r['img_s']:.2f} | "
-              f"{r['flops']/1e9:.0f} | {r['mfu']*100:.1f}% |", flush=True)
+              f"{r['flops']/1e9:.0f} | {r['mfu']*100:.1f}% | {fu_s} |",
+              flush=True)
 
-    print("| measurement | ms/step | img/s | GFLOP/step | MFU |")
-    print("|---|---|---|---|---|")
+    print("| measurement | ms/step | img/s | GFLOP/step | MFU | floor util |")
+    print("|---|---|---|---|---|---|")
     add("infer segm bs=1", measure_infer, True, 1)
     add("infer segm bs=4", measure_infer, True, 4)
     add("infer det bs=1", measure_infer, False, 1)
@@ -193,6 +296,7 @@ def main():
         add("train segm bs=4", measure_train, True, 4)
         add("train segm global4 (bs2 x2 accum)",
             lambda: measure_train(True, 4, iters=4, iter_per_update=2))
+        add("infer boxer3d waymo (468^2, 32k voxels)", measure_boxer3d)
 
 
 if __name__ == "__main__":
