@@ -44,10 +44,15 @@ from boxer_tpu.utils.general import level_start_index
 
 Shapes = Tuple[Tuple[int, int], ...]
 
-# Fused inference combine implementation: "mmajor" (round-5 streaming kernel,
-# taps reduced in-block, corner weights formed in-kernel) or "pmajor" (the
-# r3 accumulator-carry kernel). Both are output-identical; see
-# docs/TPU_PERFORMANCE.md for the measured comparison.
+# Fused inference combine implementation: "pmajor" (default — the Pallas
+# accumulator-carry kernel), "slices" (direct 4P-term lane-slice
+# accumulation, no weight stack, no kernel) or "mmajor" (streaming kernel
+# experiment). Output-identical. "slices" WINS standalone (0.225 ms vs the
+# kernel's 0.303 at M=8*15200) but LOSES in-model: XLA materializes + COPIES
+# each gather output before the slice chain consumes it (+11.6 ms/step of
+# copies, trace-verified, with or without an optimization_barrier — both
+# compile to the identical module), while the Pallas call takes the gather
+# result as-is. See docs/TPU_PERFORMANCE.md round-5 notes.
 _COMBINE_IMPL = os.environ.get("BOXER_COMBINE", "pmajor")
 
 
@@ -453,6 +458,8 @@ def _box_attention_qminor_folded(value, shapes: Shapes, gx, gy, attn_weight,
     the four per-b takes. At b == 1 this emits the exact same graph as the
     single-loop formulation.
     """
+    from boxer_tpu.ops.pallas.combine_reduce import pallas_combine_supported
+
     b, s, nh, ch = value.shape
     _, _, nl, npt, lq = gx.shape
     assert nl == len(shapes)
@@ -474,7 +481,8 @@ def _box_attention_qminor_folded(value, shapes: Shapes, gx, gy, attn_weight,
             table = (tables[li] if b == 1 else jax.lax.slice_in_dim(
                 tables[li], bi * nh * stride, (bi + 1) * nh * stride))
 
-            if fused and _COMBINE_IMPL == "mmajor":
+            if fused and _COMBINE_IMPL == "mmajor" \
+                    and pallas_combine_supported(ch):
                 # m-major streaming combine (round 5): gather rows ordered
                 # (h, lq, p) so the Pallas kernel reduces each output's P
                 # taps inside one block — no accumulator carry, one output
@@ -524,13 +532,46 @@ def _box_attention_qminor_folded(value, shapes: Shapes, gx, gy, attn_weight,
             idx = base + yq * (wl + 1) + xq                   # (P, H, LQ)
             w_tap = jnp.where(valid, w_l, 0.0)
 
-            if fused:
+            if fused and _COMBINE_IMPL != "pmajor" and npt <= 8:
+                # round-5 default for small P: direct 4P-term lane-slice
+                # accumulation into the f32 output — no (P, 4, M) weight
+                # stack, no kernel call. Trace-measured 0.225 ms vs the
+                # pmajor kernel's 0.303 at encoder level scale (M=8*15200),
+                # and the in-model kernel call also paid the w4 stack
+                # formatting this path deletes.
+                # lane slices + elementwise are rule-4-safe gather consumers
+                # (same consumption pattern as the unfused path below); an
+                # optimization_barrier here forces a 165 MB copy per level
+                # (trace-measured +12 ms/step) and is NOT needed
+                vals = jnp.take(table, idx.reshape(-1), axis=0,
+                                mode="clip")                  # (P*Mb, 4Ch)
+                w00 = (1.0 - lx) * (1.0 - ly) * w_tap         # (P, H, LQ)
+                w01 = lx * (1.0 - ly) * w_tap
+                w10 = (1.0 - lx) * ly * w_tap
+                w11 = lx * ly * w_tap
+                for pi in range(npt):
+                    rows = slice(pi * mb, (pi + 1) * mb)
+                    for ci, wc in enumerate((w00, w01, w10, w11)):
+                        out_b = out_b + (
+                            vals[rows, ci * ch:(ci + 1) * ch]
+                            .astype(jnp.float32) * wc[pi].reshape(mb, 1))
+                continue
+
+            if fused and pallas_combine_supported(ch):
                 from boxer_tpu.ops.pallas.combine_reduce import (
-                    fused_combine_reduce)
+                    _ONEPASS_MAX_P, fused_combine_reduce,
+                    fused_combine_reduce_raw)
 
                 # plain take (no VJP machinery — this path is forward-only)
                 vals = jnp.take(table, idx.reshape(-1), axis=0,
                                 mode="clip")                  # (P*Mb, 4Ch)
+                if npt <= _ONEPASS_MAX_P:
+                    # small P: single-pass kernel with IN-KERNEL corner
+                    # weight formation — no (P, 4, M) stack round trip
+                    out_b = out_b + fused_combine_reduce_raw(
+                        vals, lx.reshape(npt, mb), ly.reshape(npt, mb),
+                        w_tap.reshape(npt, mb), npt, mb)
+                    continue
                 w4 = jnp.stack([
                     (1.0 - lx) * (1.0 - ly) * w_tap,
                     lx * (1.0 - ly) * w_tap,
@@ -661,8 +702,11 @@ def instance_attention_qminor(value, shapes: Shapes, gx, gy, spatial_weight,
 
             taps = _sample_taps_pmajor_vjp(stride, nh)(
                 table, idx, bw4)                              # (P*Mb, Ch)
-            # layout fence — see _box_attention_qminor_folded
-            taps = jax.lax.optimization_barrier(taps)
+            # layout fence — see _box_attention_qminor_folded. A/B switch
+            # for the r5 trace question whether the fence's copies
+            # (4 x 0.36 ms/step at decoder scale) still pay for themselves.
+            if os.environ.get("BOXER_IA_BARRIER", "1") != "0":
+                taps = jax.lax.optimization_barrier(taps)
             out_b = out_b + _reduce_pmajor(taps * sw_l.reshape(-1, 1),
                                            npt, mb)
             mask_b = mask_b + taps * lw_l.reshape(-1, 1)
@@ -914,13 +958,11 @@ def box_attention_qminor(value, shapes: Shapes, gx, gy, attn_weight,
     if fold is None:
         fold = gx.shape[3] > _FOLD_TAP_THRESHOLD
     if fold:
-        from boxer_tpu.ops.pallas.combine_reduce import (
-            pallas_combine_supported)
-
-        ch = value.shape[-1]
+        # fused dispatch (slices chain vs Pallas kernel vs plain XLA
+        # formulation) is decided per tap count / backend inside the folded
+        # impl; the slices path needs no Pallas support
         out = _box_attention_qminor_folded(
-            value, shapes, gx, gy, attn_weight,
-            fused=fused and pallas_combine_supported(ch))
+            value, shapes, gx, gy, attn_weight, fused=fused)
     else:
         out = _box_attention_qminor_impl(value, shapes, gx, gy, attn_weight)
     return out if raw else _merge_heads(out)

@@ -36,6 +36,104 @@ from jax.experimental.pallas import tpu as pltpu
 
 # taps (rows) per grid block: payload VMEM block = CB * 4*Ch * 4 B
 _CB = 4096
+# small-P single-pass block (all P payload chunks per grid step)
+_CB_ONEPASS = 2048
+_ONEPASS_MAX_P = 8
+
+
+@functools.lru_cache(maxsize=None)
+def _build_call_onepass(p: int, m: int, ch: int, cb: int):
+    """Single-pass small-P variant (round 5): the grid runs over m-chunks
+    only and each step loads ALL P payload chunks of the block, accumulates
+    locally, and writes the output once — no f32 scratch carried across grid
+    steps. Per-grid-step overhead (~1.4 us) dominates the carry kernel at
+    encoder scale; trace-measured 0.337 vs 0.369 ms/call at P=4 M=8*20197
+    (tools/bench_combine3.py)."""
+    nmc = pl.cdiv(m, cb)
+
+    def kernel(g_ref, w_ref, o_ref):
+        cc = jax.lax.broadcasted_iota(jnp.int32, (4, 4 * ch), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (4, 4 * ch), 1) // ch
+        sel = (cc == jj).astype(jnp.float32)              # (4, 4ch)
+        acc = jnp.zeros((cb, 4 * ch), jnp.float32)
+        for pi in range(p):
+            g = g_ref[pi].astype(jnp.float32)             # (CB, 4ch)
+            w = w_ref[pi]                                 # (4, CB) f32
+            wf = jax.lax.dot_general(w, sel, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            acc = acc + g * wf
+        o_ref[...] = (acc[:, 0 * ch:1 * ch] + acc[:, 1 * ch:2 * ch]
+                      + acc[:, 2 * ch:3 * ch] + acc[:, 3 * ch:4 * ch])
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((m, ch), jnp.float32),
+        grid=(nmc,),
+        in_specs=[
+            pl.BlockSpec((p, cb, 4 * ch), lambda mc: (0, mc, 0)),
+            pl.BlockSpec((p, 4, cb), lambda mc: (0, 0, mc)),
+        ],
+        out_specs=pl.BlockSpec((cb, ch), lambda mc: (mc, 0)),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _build_call_onepass_raw(p: int, m: int, ch: int, cb: int):
+    """onepass variant taking RAW per-tap row vectors lx/ly/wt (P, M) and
+    forming the 4 bilinear corner weights in-kernel — deletes the XLA-side
+    (P, 4, M) jnp.stack the other kernels consume (and its HBM round trip)."""
+    nmc = pl.cdiv(m, cb)
+
+    def kernel(g_ref, lx_ref, ly_ref, wt_ref, o_ref):
+        cc = jax.lax.broadcasted_iota(jnp.int32, (4, 4 * ch), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (4, 4 * ch), 1) // ch
+        sel = (cc == jj).astype(jnp.float32)              # (4, 4ch)
+        acc = jnp.zeros((cb, 4 * ch), jnp.float32)
+        for pi in range(p):
+            g = g_ref[pi].astype(jnp.float32)             # (CB, 4ch)
+            lx = lx_ref[pi:pi + 1, :]                     # (1, CB) f32
+            ly = ly_ref[pi:pi + 1, :]
+            wt = wt_ref[pi:pi + 1, :]
+            w4 = jnp.concatenate([
+                (1.0 - lx) * (1.0 - ly) * wt,
+                lx * (1.0 - ly) * wt,
+                (1.0 - lx) * ly * wt,
+                lx * ly * wt,
+            ], axis=0)                                    # (4, CB)
+            wf = jax.lax.dot_general(w4, sel, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            acc = acc + g * wf
+        o_ref[...] = (acc[:, 0 * ch:1 * ch] + acc[:, 1 * ch:2 * ch]
+                      + acc[:, 2 * ch:3 * ch] + acc[:, 3 * ch:4 * ch])
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((m, ch), jnp.float32),
+        grid=(nmc,),
+        in_specs=[
+            pl.BlockSpec((p, cb, 4 * ch), lambda mc: (0, mc, 0)),
+            pl.BlockSpec((p, cb), lambda mc: (0, mc)),
+            pl.BlockSpec((p, cb), lambda mc: (0, mc)),
+            pl.BlockSpec((p, cb), lambda mc: (0, mc)),
+        ],
+        out_specs=pl.BlockSpec((cb, ch), lambda mc: (mc, 0)),
+    )
+
+
+def fused_combine_reduce_raw(g, lx, ly, wt, p: int, m: int):
+    """out[m] = sum_p sum_c corner(lx,ly)[c] * wt * g[p-major rows].
+
+    g: (P*M, 4*Ch) gather output, rows p-major; lx/ly/wt: (P, M) f32 raw
+    bilinear fractions and the (attention-weight x validity) factor. The 4
+    corner products are formed in-kernel (no (P, 4, M) stack).
+    Small P only (payload block holds all P chunks). Forward-only.
+    """
+    n, ch4 = g.shape
+    assert n == p * m and ch4 % 4 == 0 and lx.shape == (p, m)
+    assert p <= _ONEPASS_MAX_P
+    g3 = g.reshape(p, m, ch4)
+    return _build_call_onepass_raw(p, m, ch4 // 4, _CB_ONEPASS)(
+        g3, lx, ly, wt)
 
 
 @functools.lru_cache(maxsize=None)
@@ -176,4 +274,6 @@ def fused_combine_reduce(g, w, p: int, m: int):
     assert n == p * m and ch4 % 4 == 0
     ch = ch4 // 4
     g3 = g.reshape(p, m, ch4)                             # free reshape
+    if p <= _ONEPASS_MAX_P:
+        return _build_call_onepass(p, m, ch, _CB_ONEPASS)(g3, w)
     return _build_call(p, m, ch, jnp.dtype(g.dtype).name)(g3, w)

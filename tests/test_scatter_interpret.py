@@ -24,7 +24,8 @@ def interp():
     import boxer_tpu.ops.pallas.scatter_accum as sa
 
     caches = (sa._build_call, sa._build_call_pmajor, sa._build_call_weighted,
-              sa._build_call_pmajor_weighted, cr._build_call)
+              sa._build_call_pmajor_weighted, cr._build_call,
+              cr._build_call_onepass, cr._build_call_onepass_raw)
     for f in caches:
         f.cache_clear()
     with pltpu.force_tpu_interpret_mode():
@@ -109,17 +110,43 @@ def test_scatter_add_rows_pmajor_weighted_interpret(interp):
 
 def test_fused_combine_reduce_interpret(interp):
     """Forward combine+reduce kernel vs a numpy oracle (the real-chip
-    comparison lives in test_pallas_tpu_paths)."""
+    comparison lives in test_pallas_tpu_paths). P=4 exercises the round-5
+    single-pass small-P kernel; P=16 the accumulator-carry kernel."""
     import jax.numpy as jnp
 
     from boxer_tpu.ops.pallas.combine_reduce import fused_combine_reduce
 
     rng = np.random.RandomState(5)
-    P, M, CH = 4, 4096, 32
+    for P, M in ((4, 4096), (16, 4096)):
+        CH = 32
+        g = rng.randn(P * M, 4 * CH).astype(np.float32)
+        w = rng.rand(P, 4, M).astype(np.float32)
+        out = np.asarray(fused_combine_reduce(jnp.asarray(g), jnp.asarray(w),
+                                              P, M))
+        g4 = g.reshape(P, M, 4, CH)
+        ref = np.einsum("pmc,pmch->mh", w.transpose(0, 2, 1), g4)
+        assert out.shape == (M, CH)
+        assert _rel_err(out, ref) < 1e-5
+
+
+def test_fused_combine_reduce_raw_interpret(interp):
+    """Round-5 raw-weight single-pass kernel (in-kernel bilinear corner
+    formation) vs the numpy oracle with host-side corner products."""
+    import jax.numpy as jnp
+
+    from boxer_tpu.ops.pallas.combine_reduce import fused_combine_reduce_raw
+
+    rng = np.random.RandomState(6)
+    P, M, CH = 4, 2048 + 512, 32          # non-multiple M -> partial block
     g = rng.randn(P * M, 4 * CH).astype(np.float32)
-    w = rng.rand(P, 4, M).astype(np.float32)
-    out = np.asarray(fused_combine_reduce(jnp.asarray(g), jnp.asarray(w),
-                                          P, M))
+    lx = rng.rand(P, M).astype(np.float32)
+    ly = rng.rand(P, M).astype(np.float32)
+    wt = rng.rand(P, M).astype(np.float32)
+    out = np.asarray(fused_combine_reduce_raw(
+        jnp.asarray(g), jnp.asarray(lx), jnp.asarray(ly), jnp.asarray(wt),
+        P, M))
+    w = np.stack([(1 - lx) * (1 - ly) * wt, lx * (1 - ly) * wt,
+                  (1 - lx) * ly * wt, lx * ly * wt], axis=1)   # (P, 4, M)
     g4 = g.reshape(P, M, 4, CH)
     ref = np.einsum("pmc,pmch->mh", w.transpose(0, 2, 1), g4)
     assert out.shape == (M, CH)
